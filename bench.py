@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: single-image clothed-human recon at 256^3 on one TPU.
+
+Pipeline timed (matches the reference demo's per-frame hot path,
+apps/infer.py:390-391 -> ICON.test_single): normal-feature filtering
+(stacked hourglass on 512^2 x2), coarse-to-fine occupancy evaluation at
+(33, 65, 129, 257) with ICON's SMPL-local features against a 20480-face body
+mesh, and on-device marching-tetrahedra extraction (+ host dedup).
+
+Baseline: the reference reports 6.56 fps for the occupancy recon engine alone
+on GPU in faster mode (lib/common/seg3d_lossless.py:153-158); vs_baseline
+compares our full end-to-end images/sec against that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--image-size", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from icon_tpu.config import Config, NetConfig
+    from icon_tpu.models.hgpifu import HGPIFuNet
+    from icon_tpu.recon.engine import (ReconEngine,
+                                       reconstruction_resolutions)
+    from icon_tpu.recon.marching import (fetch_mesh,
+                                         marching_tetrahedra_indexed)
+    from icon_tpu.utils.synthetic import synthetic_icon_batch
+
+    cfg = Config(
+        test_mode=False,
+        net=NetConfig(
+            mlp_dim=(256, 512, 256, 128, 1), res_layers=(2, 3, 4),
+            num_stack=2, prior_type="icon", use_filter=True,
+            in_geo=(("normal_F", 3), ("normal_B", 3)),
+            in_nml=(("image", 3), ("T_normal_F", 3), ("T_normal_B", 3)),
+            smpl_feats=("sdf", "norm", "vis", "cmap"),
+            norm_mlp="batch", hourglass_dim=6, smpl_dim=7))
+    net = HGPIFuNet(cfg)
+
+    rng = np.random.RandomState(0)
+    batch = synthetic_icon_batch(rng, B=1, image_size=args.image_size,
+                                 n_samples=64, subdiv=5)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+
+    resolutions = reconstruction_resolutions(args.res)
+    eng = ReconEngine(resolutions, faster=True)
+    total_points = float(resolutions[0] ** 3 +
+                         sum(eng.budgets[:max(len(resolutions) - 2, 0)]))
+
+    from icon_tpu.ops.sdf_fast import build_vertex_face_table
+    feat_keys = ("image", "normal_F", "normal_B")
+    smpl_keys = ("smpl_verts", "smpl_faces", "smpl_cmap", "smpl_vis")
+
+    max_cells = 1 << 18
+    max_tris = 1 << 20
+
+    smpl_feat = {k: batch[k] for k in smpl_keys}
+    smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(
+        np.asarray(batch["smpl_faces"]), batch["smpl_verts"].shape[1]))
+
+    filter_jit = jax.jit(lambda v, t: net.apply(v, t, train=False,
+                                                method=net.filter))
+    in_t = {k: batch[k] for k in feat_keys}
+    features = filter_jit(variables, in_t)
+
+    def query_fn(pts):
+        return net.apply(variables, features, pts, batch["calib"],
+                         smpl_feat, False, method=net.query)[-1]
+
+    march_jit = jax.jit(lambda occ: marching_tetrahedra_indexed(
+        occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,
+        max_verts=1 << 20))
+
+    def frame():
+        feats = filter_jit(variables, in_t)
+        occ, stats = eng(query_fn, jit_levels=True)
+        mesh = march_jit(occ)
+        verts, faces = fetch_mesh(mesh)   # minimal host transfer
+        return stats, mesh, verts, faces
+
+    # warmup/compile (per-level executables cached on the engine)
+    frame()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        stats, mesh, verts, faces = frame()
+        n_tris = mesh.n_tris
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    fps = 1.0 / dt
+    baseline_fps = 6.56  # reference recon engine, faster mode, GPU
+    result = {
+        "metric": f"e2e_recon_{args.res}_images_per_sec",
+        "value": round(fps, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(fps / baseline_fps, 4),
+    }
+    # secondary diagnostics on stderr (driver reads stdout JSON only)
+    print(json.dumps({
+        "sec_per_image": round(dt, 4),
+        "mpoints_per_sec": round(total_points / dt / 1e6, 3),
+        "n_tris": int(n_tris),
+        "platform": jax.devices()[0].platform,
+        "times": [round(t, 4) for t in times],
+    }), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

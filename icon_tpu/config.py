@@ -58,6 +58,11 @@ class NetConfig:
     in_nml: Tuple[Tuple[str, int], ...] = ()
     # losses / misc used by training
     gan_mode: str = "none"
+    # pix2pixHD generator sizes (reference define_G defaults,
+    # NormalNet.py:67-70); overridable for small-scale tests
+    ngf: int = 64
+    n_downsampling: int = 4
+    n_blocks: int = 9
 
     @property
     def in_geo_names(self) -> Tuple[str, ...]:

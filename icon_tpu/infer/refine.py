@@ -1,0 +1,153 @@
+"""The two per-image optimization loops of the demo (reference apps/infer.py).
+
+1. **SMPL refinement** (infer.py:123-273, HOT LOOP 1): optimize SMPL
+   pose/shape/orient/translation so the *body* normal renders match the
+   predicted *cloth* normal maps + silhouette. One jitted optax step;
+   gradients flow through LBS and the differentiable rasterizer.
+2. **Cloth refinement** (infer.py:431-505, HOT LOOP 3): per-vertex LocalAffine
+   deformation of the reconstructed mesh against the predicted normals, with
+   laplacian/edge/normal-consistency priors (mesh_util.py:168-184) and
+   stiffness/rigidity regularizers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from icon_tpu.models.local_affine import (apply_local_affine,
+                                          init_local_affine, rigid_loss,
+                                          stiffness_loss)
+from icon_tpu.models.smplx.body import BodyModel
+from icon_tpu.ops.mesh_losses import (edge_face_adjacency, edge_length_loss,
+                                      laplacian_loss, mesh_edges,
+                                      normal_consistency_loss)
+from icon_tpu.render.render import render_normal, render_silhouette
+
+
+class SmplRefineState(NamedTuple):
+    params: Dict[str, jnp.ndarray]
+    opt_state: optax.OptState
+
+
+def make_smpl_refine_step(body_model: BodyModel,
+                          faces: np.ndarray,
+                          goal_normal_F: jnp.ndarray,
+                          goal_normal_B: jnp.ndarray,
+                          goal_mask: jnp.ndarray,
+                          lr: float = 1e-2,
+                          size: int = 512,
+                          scale: Optional[jnp.ndarray] = None,
+                          w_normal: float = 1.0,
+                          w_sil: float = 1.0):
+    """Build (init_state, jitted step). Optimized params: betas, body_pose,
+    global_orient, trans (infer.py:150-171)."""
+    tx = optax.adam(lr)
+    faces_j = jnp.asarray(faces)
+
+    def forward_verts(params):
+        verts, _ = body_model.forward(
+            betas=params["betas"], global_orient=params["global_orient"],
+            body_pose=params["body_pose"], transl=params["trans"],
+            scale=scale)
+        return verts[0]
+
+    def loss_fn(params):
+        verts = forward_verts(params)
+        nF, mF = render_normal(verts, faces_j, size=size, azimuth=0.0)
+        nB, mB = render_normal(verts, faces_j, size=size, azimuth=180.0)
+        sil = render_silhouette(verts, faces_j, size=size, azimuth=0.0)
+
+        # normal L1 on the joint support (reference diff masks overlap)
+        lossN = jnp.mean(jnp.abs(nF - goal_normal_F)) + \
+            jnp.mean(jnp.abs(nB - goal_normal_B))
+        lossS = jnp.mean(jnp.abs(sil - goal_mask))
+        return w_normal * lossN + w_sil * lossS
+
+    @jax.jit
+    def step(state: SmplRefineState):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SmplRefineState(params, opt_state), loss
+
+    def init(betas, body_pose, global_orient, trans) -> SmplRefineState:
+        params = {"betas": jnp.asarray(betas),
+                  "body_pose": jnp.asarray(body_pose),
+                  "global_orient": jnp.asarray(global_orient),
+                  "trans": jnp.asarray(trans)}
+        return SmplRefineState(params, tx.init(params))
+
+    return init, step, forward_verts
+
+
+def refine_smpl(body_model: BodyModel, faces: np.ndarray,
+                init_params: Dict[str, np.ndarray],
+                goal_normal_F: jnp.ndarray, goal_normal_B: jnp.ndarray,
+                goal_mask: jnp.ndarray, iters: int = 100,
+                lr: float = 1e-2, size: int = 512,
+                scale: Optional[jnp.ndarray] = None):
+    """Run the loop; returns (refined params dict, final verts, losses)."""
+    init, step, forward_verts = make_smpl_refine_step(
+        body_model, faces, goal_normal_F, goal_normal_B, goal_mask,
+        lr=lr, size=size, scale=scale)
+    state = init(**init_params)
+    losses = []
+    for _ in range(iters):
+        state, loss = step(state)
+        losses.append(loss)
+    verts = forward_verts(state.params)
+    return state.params, verts, [float(l) for l in losses]
+
+
+# ---------------------------------------------------------------------------
+
+
+def refine_cloth(verts: np.ndarray, faces: np.ndarray,
+                 goal_normal_F: jnp.ndarray, goal_normal_B: jnp.ndarray,
+                 iters: int = 200, lr: float = 1e-4, size: int = 512,
+                 w_cloth: float = 1e1, w_stiff: float = 1e5,
+                 w_rigid: float = 1e5, w_lap: float = 1e2,
+                 w_edge: float = 0.0, w_nc: float = 1e1):
+    """LocalAffine cloth refinement (infer.py:431-505; default loss weights
+    follow the reference's anneal targets). Returns refined verts."""
+    edges = jnp.asarray(mesh_edges(faces))
+    fpairs = jnp.asarray(edge_face_adjacency(faces))
+    verts0 = jnp.asarray(verts)
+    faces_j = jnp.asarray(faces)
+    tx = optax.adam(lr)
+
+    def loss_fn(params):
+        deformed = apply_local_affine(params, verts0)
+        nF, _ = render_normal(deformed, faces_j, size=size, azimuth=0.0)
+        nB, _ = render_normal(deformed, faces_j, size=size, azimuth=180.0)
+        l_cloth = jnp.mean(jnp.abs(nF - goal_normal_F)) + \
+            jnp.mean(jnp.abs(nB - goal_normal_B))
+        l = (w_cloth * l_cloth +
+             w_stiff * stiffness_loss(params, edges) +
+             w_rigid * rigid_loss(params) +
+             w_lap * laplacian_loss(deformed, edges) +
+             w_nc * normal_consistency_loss(deformed, faces_j, fpairs))
+        if w_edge:
+            l += w_edge * edge_length_loss(deformed, edges)
+        return l
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = init_local_affine(verts0.shape[0])
+    opt_state = tx.init(params)
+    losses = []
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(loss)
+    return np.asarray(apply_local_affine(params, verts0)), \
+        [float(l) for l in losses]

@@ -91,7 +91,10 @@ class HGPIFuNet(nn.Module):
                 conv1_ksdp=tuple(net.conv1),
                 name="F_filter")
 
-        self.normal_filter = NormalNet(in_nml=net.in_nml, name="normal_filter")
+        self.normal_filter = NormalNet(
+            in_nml=net.in_nml, ngf=net.ngf,
+            n_downsampling=net.n_downsampling, n_blocks=net.n_blocks,
+            name="normal_filter")
 
         if self.prior_type == "pamir":
             self.ve = VolumeEncoder(num_out=net.voxel_dim,
@@ -115,6 +118,11 @@ class HGPIFuNet(nn.Module):
                 nmlF, nmlB = self.normal_filter(in_tensor_dict, train=False)
             feats += [nmlF, nmlB]
         return jnp.concatenate(feats, axis=-1)
+
+    def predict_normals(self, in_tensor_dict: Dict[str, jnp.ndarray],
+                        train: bool = False):
+        """Run just the normal nets (apps/infer.py:207-210 usage)."""
+        return self.normal_filter(in_tensor_dict, train)
 
     def filter(self, in_tensor_dict: Dict[str, jnp.ndarray],
                train: bool = False) -> List[jnp.ndarray]:
@@ -177,9 +185,17 @@ class HGPIFuNet(nn.Module):
 
         vol_feats = features
         if self.prior_type == "icon":
-            sdf, norm, cmap, vis = cal_sdf_batch(
-                smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],
-                smpl_feat["smpl_cmap"], smpl_feat["smpl_vis"], xyz)
+            if "smpl_vf_table" in smpl_feat:
+                # production path: MXU kNN + candidate faces (ops/sdf_fast)
+                from icon_tpu.ops.sdf_fast import cal_sdf_batch_fast
+                sdf, norm, cmap, vis = cal_sdf_batch_fast(
+                    smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],
+                    smpl_feat["smpl_cmap"], smpl_feat["smpl_vis"], xyz,
+                    smpl_feat["smpl_vf_table"])
+            else:
+                sdf, norm, cmap, vis = cal_sdf_batch(
+                    smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],
+                    smpl_feat["smpl_cmap"], smpl_feat["smpl_vis"], xyz)
             # outlier points (far from the body) get uniform features
             outlier = jnp.abs(sdf) >= self.sdf_clip
             sdf = jnp.where(outlier, jnp.sign(sdf), sdf)

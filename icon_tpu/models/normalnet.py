@@ -18,6 +18,9 @@ from icon_tpu.models.pix2pix import GlobalGenerator
 class NormalNet(nn.Module):
     in_nml: Tuple[Tuple[str, int], ...] = (
         ("image", 3), ("T_normal_F", 3), ("T_normal_B", 3))
+    ngf: int = 64
+    n_downsampling: int = 4
+    n_blocks: int = 9
 
     @property
     def front_keys(self):
@@ -33,11 +36,15 @@ class NormalNet(nn.Module):
         inF = jnp.concatenate([in_tensor[k] for k in self.front_keys], -1)
         inB = jnp.concatenate([in_tensor[k] for k in self.back_keys], -1)
 
-        nmlF = GlobalGenerator(name="netF")(inF, train)
-        nmlB = GlobalGenerator(name="netB")(inB, train)
+        kw = dict(ngf=self.ngf, n_downsampling=self.n_downsampling,
+                  n_blocks=self.n_blocks)
+        nmlF = GlobalGenerator(name="netF", **kw)(inF, train)
+        nmlB = GlobalGenerator(name="netB", **kw)(inB, train)
 
-        nmlF = nmlF / jnp.linalg.norm(nmlF, axis=-1, keepdims=True)
-        nmlB = nmlB / jnp.linalg.norm(nmlB, axis=-1, keepdims=True)
+        nmlF = nmlF / jnp.sqrt(jnp.sum(nmlF * nmlF, -1, keepdims=True)
+                               + 1e-12)
+        nmlB = nmlB / jnp.sqrt(jnp.sum(nmlB * nmlB, -1, keepdims=True)
+                               + 1e-12)
 
         mask = (jnp.sum(jnp.abs(in_tensor["image"]), axis=-1,
                         keepdims=True) != 0.0).astype(nmlF.dtype)

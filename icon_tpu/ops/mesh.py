@@ -38,7 +38,8 @@ def face_normals(verts: jnp.ndarray, faces: jnp.ndarray,
     n = jnp.cross(tris[..., 1, :] - tris[..., 0, :],
                   tris[..., 2, :] - tris[..., 0, :])
     if normalize:
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+        n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+        n = n / jnp.sqrt(jnp.maximum(n2, eps * eps))
     return n
 
 
@@ -63,8 +64,10 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray,
         return out
 
     vn = jax.vmap(accumulate)(fn)
-    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
-    return vn / jnp.maximum(norm, eps)
+    # safe normalize: sqrt(max(n2, eps^2)) keeps the gradient finite at zero
+    # (jnp.linalg.norm has a NaN gradient at exactly 0)
+    n2 = jnp.sum(vn * vn, axis=-1, keepdims=True)
+    return vn / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def barycentric_projection_weights(points: jnp.ndarray,

@@ -1,0 +1,53 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_for_batch(batch_size: int, n_devices: Optional[int] = None,
+                        axis: str = "data") -> Mesh:
+    """1-D mesh whose size divides the batch (largest usable device count)."""
+    avail = n_devices or len(jax.devices())
+    d = max(g for g in range(1, avail + 1) if batch_size % g == 0)
+    return make_mesh(d, axis)
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data",
+                  dim: int = 0) -> NamedSharding:
+    """NamedSharding that splits dimension ``dim`` of an ndim-array."""
+    spec = [None] * ndim
+    spec[dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard every array in a pytree along its leading (batch) axis."""
+    def put(x):
+        x = jax.numpy.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim, axis))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_points(points: jax.Array, mesh: Mesh, axis: str = "data"):
+    """Shard a ``[B, N, ...]`` point array along N (inference point
+    parallelism). N must divide by the mesh size."""
+    return jax.device_put(points, data_sharding(mesh, points.ndim, axis,
+                                                dim=1))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

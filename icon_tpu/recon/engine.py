@@ -82,61 +82,95 @@ class ReconEngine:
             else default_budgets(self.resolutions)
         self.balance = balance
         self.faster = faster
+        self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------
+    # Level bodies. Each is pure so the caller (or __call__ in jit_levels
+    # mode) can jit them separately — at mcube_res 256+ a single monolithic
+    # graph (engine + network queries + marching) takes many minutes to
+    # compile; per-level executables compile in parallel-friendly chunks and
+    # are reused across frames.
 
-    def __call__(self, query_fn: Callable[[jnp.ndarray], jnp.ndarray]):
-        """Returns (occ [R, R, R] float32 in [z, y, x] layout, stats dict)."""
-        res = self.resolutions
-        stats: Dict[str, jnp.ndarray] = {}
-
-        # level 0: dense
-        r0 = res[0]
+    def _level0(self, query_fn):
+        r0 = self.resolutions[0]
         g = jnp.linspace(0.0, 1.0, r0)
         zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
         pts01 = jnp.stack([xx, yy, zz], axis=-1).reshape(1, -1, 3)
         occ = query_fn(_grid_to_world(pts01)).reshape(r0, r0, r0)
         evaluated = jnp.ones((r0, r0, r0), bool)
+        return occ, evaluated
+
+    def _upsample(self, occ, r):
+        return resize3d_trilinear_align_corners(
+            occ[None, ..., None], (r, r, r))[0, ..., 0]
+
+    def _level_step(self, lv, occ, evaluated, query_fn):
+        r = self.resolutions[lv]
+        occ_up = self._upsample(occ, r)
+        valid = resize3d_trilinear_align_corners(
+            (occ > self.balance).astype(jnp.float32)[None, ..., None],
+            (r, r, r))[0, ..., 0]
+        boundary = (valid > 0.0) & (valid < 1.0)
+
+        k = 9 if lv == 1 else (7 if lv == 2 else 3)
+        boundary = smooth_conv3d(
+            boundary.astype(jnp.float32)[None, ..., None], k)[0, ..., 0] > 0
+
+        # exclude voxels already evaluated exactly at coarser levels
+        # (reference coords_accum, seg3d_lossless.py:236-238): coarse
+        # voxel (i,j,k) lands at fine (2i, 2j, 2k)
+        ev = jnp.zeros((r, r, r), bool).at[::2, ::2, ::2].set(evaluated)
+        boundary = boundary & ~ev
+
+        budget = self.budgets[lv - 1]
+        idx, n_sel, n_total = _compact(boundary.reshape(-1), budget)
+
+        cz = idx // (r * r)
+        cy = (idx // r) % r
+        cx = idx % r
+        pts01 = jnp.stack([cx, cy, cz], -1).astype(jnp.float32) / (r - 1)
+        vals = query_fn(_grid_to_world(pts01[None]))[0, :, 0]
+
+        alive = jnp.arange(budget) < n_sel
+        safe_idx = jnp.where(alive, idx, r ** 3)
+        occ = occ_up.reshape(-1).at[safe_idx].set(
+            vals, mode="drop").reshape(r, r, r)
+        evaluated = ev.reshape(-1).at[safe_idx].set(
+            True, mode="drop").reshape(r, r, r)
+        return occ, evaluated, n_total
+
+    def __call__(self, query_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                 jit_levels: bool = False):
+        """Returns (occ [R, R, R] float32 in [z, y, x] layout, stats dict).
+
+        With ``jit_levels`` each level becomes its own cached executable
+        (key: id-stable self + lv); pass False when the whole call is
+        already inside an outer jit.
+        """
+        res = self.resolutions
+        stats: Dict[str, jnp.ndarray] = {}
+
+        def wrap(key, fn):
+            if not jit_levels:
+                return fn
+            cache_key = (key, id(query_fn))
+            if cache_key not in self._jit_cache:
+                self._jit_cache[cache_key] = jax.jit(fn)
+            return self._jit_cache[cache_key]
+
+        occ, evaluated = wrap("l0", lambda: self._level0(query_fn))()
 
         n_levels = len(res)
         for lv in range(1, n_levels):
-            r = res[lv]
             is_last = lv == n_levels - 1
-            occ_up = resize3d_trilinear_align_corners(
-                occ[None, ..., None], (r, r, r))[0, ..., 0]
             if is_last and self.faster:
-                occ = occ_up
+                occ = wrap(("up", lv),
+                           lambda o, r=res[lv]: self._upsample(o, r))(occ)
                 break
-            valid = resize3d_trilinear_align_corners(
-                (occ > self.balance).astype(jnp.float32)[None, ..., None],
-                (r, r, r))[0, ..., 0]
-            boundary = (valid > 0.0) & (valid < 1.0)
-
-            k = 9 if lv == 1 else (7 if lv == 2 else 3)
-            boundary = smooth_conv3d(
-                boundary.astype(jnp.float32)[None, ..., None], k)[0, ..., 0] > 0
-
-            # exclude voxels already evaluated exactly at coarser levels
-            # (reference coords_accum, seg3d_lossless.py:236-238): coarse
-            # voxel (i,j,k) lands at fine (2i, 2j, 2k)
-            ev = jnp.zeros((r, r, r), bool).at[::2, ::2, ::2].set(evaluated)
-            boundary = boundary & ~ev
-
-            budget = self.budgets[lv - 1]
-            idx, n_sel, n_total = _compact(boundary.reshape(-1), budget)
+            step = wrap(("step", lv), lambda o, e, lv=lv: self._level_step(
+                lv, o, e, query_fn))
+            occ, evaluated, n_total = step(occ, evaluated)
             stats[f"level{lv}_points"] = n_total
-            stats[f"level{lv}_overflow"] = jnp.maximum(n_total - budget, 0)
-
-            cz = idx // (r * r)
-            cy = (idx // r) % r
-            cx = idx % r
-            pts01 = jnp.stack([cx, cy, cz], -1).astype(jnp.float32) / (r - 1)
-            vals = query_fn(_grid_to_world(pts01[None]))[0, :, 0]
-
-            alive = jnp.arange(budget) < n_sel
-            safe_idx = jnp.where(alive, idx, r ** 3)
-            occ = occ_up.reshape(-1).at[safe_idx].set(
-                vals, mode="drop").reshape(r, r, r)
-            evaluated = ev.reshape(-1).at[safe_idx].set(
-                True, mode="drop").reshape(r, r, r)
+            stats[f"level{lv}_overflow"] = jnp.maximum(
+                n_total - self.budgets[lv - 1], 0)
         return occ, stats

@@ -12,22 +12,25 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from icon_tpu.recon.marching import dedup_triangle_soup, marching_tetrahedra
+from icon_tpu.recon.marching import (fetch_mesh, marching_tetrahedra_indexed)
 
 
 def extract_mesh(occ: jnp.ndarray, iso: float = 0.5,
-                 max_cells: int = 1 << 19, max_tris: int = 1 << 21,
+                 max_cells: int = 1 << 18, max_tris: int = 1 << 20,
                  normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Extract (verts [V,3] float32, faces [F,3] int64) from ``occ [R,R,R]``
     ([z,y,x] layout). Vertices are in [-1, 1] when ``normalize`` (the
-    reference's test_single rescale, using the *full* resolution R)."""
+    reference's test_single rescale, using the *full* resolution R).
+
+    Mesh extraction and vertex dedup run fully on device; only the compact
+    vertex/face buffers are fetched."""
     R = occ.shape[0]
     final = occ[1:, 1:, 1:]
-    tri_verts, tri_mask, n_cells, n_tris = marching_tetrahedra(
-        final, iso, max_cells=max_cells, max_tris=max_tris)
-    verts, faces = dedup_triangle_soup(np.asarray(tri_verts),
-                                       np.asarray(tri_mask))
-    if normalize:
+    out = marching_tetrahedra_indexed(
+        final, iso, max_cells=max_cells, max_tris=max_tris,
+        max_verts=min(2 * max_tris, 1 << 21))
+    verts, faces = fetch_mesh(out)
+    if normalize and len(verts):
         half = (R - 1) / 2.0
         verts = (verts - half) / half
     return verts.astype(np.float32), faces
