@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--image-size", type=int, default=512)
     args = ap.parse_args()
 
+    from icon_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -79,9 +82,20 @@ def main():
     in_t = {k: batch[k] for k in feat_keys}
     features = filter_jit(variables, in_t)
 
+    # The net is random-init, so its raw level set is noise — it would
+    # saturate every level budget and the triangle buffers, timing a
+    # worst-case field instead of a body. Blend in a body-shaped occupancy
+    # at full net compute: preds still contribute (*1e-6, not DCE-able), but
+    # the level set (and therefore boundary sizes, triangle counts, and
+    # transfer volumes) matches a real clothed-human reconstruction.
+    body_axes = jnp.asarray(np.array([0.2475, 0.55, 0.165], np.float32))
+
     def query_fn(pts):
-        return net.apply(variables, features, pts, batch["calib"],
-                         smpl_feat, False, method=net.query)[-1]
+        preds = net.apply(variables, features, pts, batch["calib"],
+                          smpl_feat, False, method=net.query)[-1]
+        rad = jnp.linalg.norm(pts / body_axes, axis=-1, keepdims=True)
+        body = jax.nn.sigmoid((1.0 - rad) * 30.0)
+        return preds * 1e-6 + body
 
     march_jit = jax.jit(lambda occ: marching_tetrahedra_indexed(
         occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,

@@ -5,9 +5,19 @@ on a 1-D mesh, params replicate, and XLA derives the gradient all-reduce and
 global batch-norm stats — the reference's Lightning DDP + sync_batchnorm
 (apps/train.py:117-121) with no wrapper framework.
 
+``-test`` runs the benchmark evaluation loop (reference trainer.test ->
+ICON.test_step, apps/train.py:100-110 + apps/ICON.py:519-673): per test view
+reconstruct at mcube_res and report chamfer / P2S / normal-consistency
+averaged per dataset.
+
+Checkpoints keep the top-3 on validation loss plus the latest; ``-resume``
+restores params + optimizer state + step, continuing the loss curve
+(reference resume_from_checkpoint, train.py:166-176).
+
 Usage:
   python -m icon_tpu.apps.train -cfg configs/train/icon-filter.yaml
   python -m icon_tpu.apps.train -cfg ... -test    # benchmark test mode
+  python -m icon_tpu.apps.train -cfg ... -resume  # continue last run
 """
 
 from __future__ import annotations
@@ -23,8 +33,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-cfg", "--config_file", required=True)
     ap.add_argument("-test", "--test_mode", action="store_true")
+    ap.add_argument("-resume", action="store_true",
+                    help="full resume from the latest checkpoint")
     ap.add_argument("--max_steps", type=int, default=0,
                     help="cap steps (debug)")
+    ap.add_argument("--max_eval_items", type=int, default=0)
     ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args()
 
@@ -33,30 +46,59 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from icon_tpu.config import load_config
-    from icon_tpu.data.datasets import DataLoader, PIFuDataset
+    from icon_tpu.data.datasets import (DataLoader, PIFuDataset, SHARED_KEYS)
     from icon_tpu.models.hgpifu import HGPIFuNet
     from icon_tpu.parallel.mesh import (make_mesh_for_batch, replicate,
                                         shard_batch)
-    from icon_tpu.training.checkpoints import (load_checkpoint,
+    from icon_tpu.training.checkpoints import (CheckpointManager,
+                                               load_checkpoint,
                                                partial_warm_start,
-                                               save_checkpoint)
+                                               restore_state)
     from icon_tpu.training.logging import MetricLogger
-    from icon_tpu.training.train_step import (create_train_state, train_step)
+    from icon_tpu.training.train_step import (create_train_state, eval_step,
+                                              train_step)
 
     cfg = load_config(args.config_file, overrides=args.opts or None)
-    if args.test_mode:
-        cfg = cfg.replace(test_mode=True)
 
-    dataset = PIFuDataset(cfg, split="test" if args.test_mode else "train")
+    net = HGPIFuNet(cfg)
+
+    if args.test_mode:
+        # benchmark evaluation (reference apps/train.py:100-110,234-236)
+        from icon_tpu.eval.test_loop import run_evaluation
+        np.random.seed(1993)
+        dataset = PIFuDataset(cfg, split="test")
+        if len(dataset) == 0:
+            raise SystemExit(f"no test data under {cfg.dataset.root!r}")
+        example = _collate_example(dataset[0])
+        variables = net.init(jax.random.PRNGKey(0), example, train=False)
+        ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.name)
+        mgr = CheckpointManager(ckpt_dir)
+        path = cfg.resume_path or mgr.best or mgr.latest
+        if path and os.path.exists(path):
+            loaded = load_checkpoint(path)
+            variables = dict(variables)
+            variables["params"] = partial_warm_start(
+                variables["params"], loaded["params"])
+            print(f"[test] loaded {path}")
+        run_evaluation(cfg, dataset, net, variables,
+                       max_items=args.max_eval_items)
+        return
+
+    dataset = PIFuDataset(cfg, split="train")
     if len(dataset) == 0:
         raise SystemExit(
             f"no training data found under {cfg.dataset.root!r} — see "
             "docs/dataset.md of the reference for the expected layout")
     loader = DataLoader(dataset, batch_size=cfg.batch_size,
                         num_workers=cfg.num_threads)
+    val_dataset = PIFuDataset(cfg, split="val")
+    if len(val_dataset) == 0:
+        val_dataset = PIFuDataset(cfg, split="test")
+    val_loader = DataLoader(val_dataset, batch_size=cfg.batch_size,
+                            num_workers=cfg.num_threads, shuffle=False,
+                            drop_last=False) if len(val_dataset) else None
     steps_per_epoch = len(loader)
 
-    net = HGPIFuNet(cfg)
     mesh = make_mesh_for_batch(cfg.batch_size, cfg.num_devices or None)
 
     example = next(iter(loader))
@@ -65,29 +107,47 @@ def main():
     state = create_train_state(net, jax.random.PRNGKey(0), example, cfg,
                                steps_per_epoch)
 
-    # warm starts (reference train.py:177-229)
-    if cfg.resume_path and os.path.exists(cfg.resume_path):
-        loaded = load_checkpoint(cfg.resume_path)
-        state = state.replace(params=partial_warm_start(
-            state.params, loaded["params"]))
-    if cfg.normal_path and os.path.exists(cfg.normal_path):
-        loaded = load_checkpoint(cfg.normal_path)
-        state = state.replace(params=partial_warm_start(
-            state.params, loaded["params"],
-            rename={"netG": "normal_filter"}))
+    ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.name)
+    mgr = CheckpointManager(ckpt_dir, top_k=3)
+
+    if args.resume and mgr.latest and os.path.exists(mgr.latest):
+        state = restore_state(state, mgr.latest)
+        print(f"[train] resumed from {mgr.latest} at step "
+              f"{int(state.step)}")
+    else:
+        # partial warm starts (reference train.py:177-229)
+        if cfg.resume_path and os.path.exists(cfg.resume_path):
+            loaded = load_checkpoint(cfg.resume_path)
+            state = state.replace(params=partial_warm_start(
+                state.params, loaded["params"]))
+        if cfg.normal_path and os.path.exists(cfg.normal_path):
+            loaded = load_checkpoint(cfg.normal_path)
+            state = state.replace(params=partial_warm_start(
+                state.params, loaded["params"],
+                rename={"netG": "normal_filter"}))
 
     state = replicate(state, mesh)
     step_fn = jax.jit(train_step, donate_argnums=0)
-    logger = MetricLogger(os.path.join(cfg.ckpt_dir, cfg.name))
+    eval_fn = jax.jit(eval_step)
+    logger = MetricLogger(ckpt_dir)
+
+    def prep(batch):
+        batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        sharded = shard_batch(
+            {k: v for k, v in batch.items() if k not in SHARED_KEYS}, mesh)
+        for k in SHARED_KEYS:
+            if k in batch:
+                sharded[k] = jax.device_put(
+                    jnp.asarray(batch[k]), NamedSharding(mesh, P()))
+        return sharded
 
     t0 = time.time()
-    step = 0
-    for epoch in range(cfg.num_epoch):
+    step = int(state.step)
+    start_epoch = step // max(steps_per_epoch, 1)
+    for epoch in range(start_epoch, cfg.num_epoch):
+        loader.set_epoch(epoch)
         for batch in loader:
-            batch = {k: v for k, v in batch.items()
-                     if isinstance(v, np.ndarray)}
-            sharded = shard_batch(batch, mesh)
-            state, metrics = step_fn(state, sharded)
+            state, metrics = step_fn(state, prep(batch))
             step += 1
             if step % 20 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -96,10 +156,33 @@ def main():
                 print(f"epoch {epoch} step {step}: {m}", flush=True)
             if args.max_steps and step >= args.max_steps:
                 break
-        save_checkpoint(os.path.join(cfg.ckpt_dir, cfg.name), step, state)
+        # validation epoch -> top-k checkpointing on val loss
+        val_loss = float("nan")
+        if val_loader is not None:
+            vals = []
+            for vb in val_loader:
+                vm = eval_fn(state, prep(vb))
+                vals.append(float(vm["loss"]))
+            val_loss = float(np.mean(vals)) if vals else float("nan")
+            logger.log(step, {"val_loss": val_loss})
+            print(f"epoch {epoch}: val_loss={val_loss:.4f}", flush=True)
+        mgr.save(step, jax.device_get(state),
+                 val_loss if np.isfinite(val_loss) else 1e9)
         if args.max_steps and step >= args.max_steps:
             break
     print(f"done: {step} steps in {time.time() - t0:.0f}s")
+
+
+def _collate_example(item):
+    import jax.numpy as jnp
+    from icon_tpu.data.datasets import SHARED_KEYS
+    out = {}
+    for k, v in item.items():
+        if not isinstance(v, np.ndarray):
+            continue
+        out[k] = jnp.asarray(v) if k in SHARED_KEYS \
+            else jnp.asarray(v)[None]
+    return out
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ class NetConfig:
     num_hourglass: int = 2
     hourglass_dim: int = 256
     voxel_dim: int = 32
+    voxel_res: int = 128          # PaMIR semantic volume resolution
     mlp_dim: Tuple[int, ...] = (320, 1024, 512, 256, 128, 1)
     res_layers: Tuple[int, ...] = (2, 3, 4)
     smpl_dim: int = 3

@@ -1,28 +1,59 @@
 """Training/eval datasets in the reference's on-disk format.
 
-Layout (docs/dataset.md; PIFuDataset.py:196-228):
-``{root}/{dataset}_{R}views/{subject}/{render,normal_F,normal_B,T_normal_F,
-T_normal_B,calib,vis}/{rotation:03d}.*`` plus scan meshes under the dataset
-dir. Images are RGBA; RGB is premultiplied by the mask and scaled to [-1, 1]
+Layout (docs/dataset.md; PIFuDataset.py:196-228)::
+
+    {root}/{dataset}_{R}views/{subject}/{render,normal_F,normal_B,
+        T_normal_F,T_normal_B,calib,vis}/{rotation:03d}.*
+    {root}/{dataset}/scans/{subject}/{subject}.obj
+    {root}/{dataset}/fits/{subject}/smplx_param.pkl
+    {root}/{dataset}/{split}.txt
+
+Images are RGBA; RGB is premultiplied by the mask and scaled to [-1, 1]
 (imagepath2tensor, PIFuDataset.py:250-259). All tensors here are channel-last
 numpy, ready for jnp.asarray.
 
+Every per-item computation is **host numpy/scipy** — no jitted device code
+runs inside ``__getitem__``, so CPU workers never contend with the training
+step on the accelerator (the reference keeps this work on CPU dataloader
+workers too, PIFuDataModule.py:41-44).
+
 Point sampling (get_sampling_geo, PIFuDataset.py:483-607): 4x num_sample_geo
-surface samples jittered along vertex normals by N(0, sigma_geo), plus
+surface samples jittered along normals by N(0, sigma_geo), plus
 num_sample_geo/4 uniform samples in the view cube, labeled inside/outside and
-rebalanced to num_sample_geo total. Inside tests use winding numbers (the
-reference uses pyembree ray casts).
+rebalanced to num_sample_geo total. Surface samples here are **area-weighted
+over faces** (the reference picks vertices uniformly, which oversamples
+dense regions); inside labels use the Hoppe signed distance (nearest surface
+point + normal dot — the reference's own SDF construction,
+lib/dataset/hoppeMesh.py:73-116) instead of embree ray casts.
+
+SMPL prior features (load_smpl, PIFuDataset.py:402-465): the fitted SMPL-X
+body is rebuilt with pose/beta noise, projected into calib space, and emitted
+with per-view visibility, the vertex color map, and point signs — everything
+``prior_type: icon`` training consumes. ``prior_type: pamir`` additionally
+gets the padded (Tetra)SMPL voxel vertices + semantic codes
+(load_smpl_voxel, PIFuDataset.py:466-481).
 """
 
 from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Dict, List, Optional, Sequence
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from icon_tpu.config import Config
+
+# Keys shared across a batch (same body topology / assets for every sample):
+# collated by taking the first item instead of stacking.
+SHARED_KEYS = ("smpl_faces", "smpl_vf_table", "voxel_codes", "voxel_faces")
+
+# reference noise joints (PIFuDataset.py:58-71); smplx indices are
+# (idx-1)*3.. because body_pose excludes the global root
+_NOISE_JOINTS = [4, 5, 7, 8, 13, 14, 16, 17, 18, 19, 20, 21]
+NOISE_SMPLX_IDX = [(i - 1) * 3 + k for i in _NOISE_JOINTS for k in range(3)]
+NOISE_SMPL_IDX = [i * 3 + k for i in _NOISE_JOINTS for k in range(3)]
 
 
 def _imagepath2tensor(path: str, channels: int = 3) -> np.ndarray:
@@ -45,6 +76,64 @@ def load_calib(path: str) -> np.ndarray:
     return (intrinsic @ extrinsic).astype(np.float32)
 
 
+def projection_np(points: np.ndarray, calib: np.ndarray) -> np.ndarray:
+    """Homogeneous [N, 3] @ [4, 4] projection (lib/net/geometry.py math)."""
+    h = np.concatenate(
+        [points, np.ones((len(points), 1), points.dtype)], axis=1)
+    return (h @ calib.T)[:, :3]
+
+
+def stable_hash(text: str, mod: int = 10 ** 8) -> int:
+    """Deterministic stand-in for the reference's ``hash(...) % 1e8`` noise
+    seeds (PIFuDataset.py:300) — python's hash() is salted per process."""
+    return zlib.crc32(text.encode()) % mod
+
+
+# ---------------------------------------------------------------------------
+# Host geometry helpers (numpy/scipy only)
+
+
+def vertex_normals_np(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (host mirror of ops/mesh.py)."""
+    tri = verts[faces]                                  # [F, 3, 3]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = np.zeros_like(verts)
+    for j in range(3):
+        np.add.at(vn, faces[:, j], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    return vn / np.maximum(norm, 1e-12)
+
+
+class HoppeSDF:
+    """Signed distance via nearest-vertex + normal dot — the reference's
+    HoppeMesh (lib/dataset/hoppeMesh.py:73-116), cKDTree on host.
+    Negative inside (matching the reference's get_sdf sign convention)."""
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray,
+                 vert_normals: Optional[np.ndarray] = None):
+        from scipy.spatial import cKDTree
+        self.verts = np.asarray(verts, np.float32)
+        self.faces = np.asarray(faces)
+        self.vert_normals = vertex_normals_np(self.verts, self.faces) \
+            if vert_normals is None else np.asarray(vert_normals, np.float32)
+        self.tree = cKDTree(self.verts)
+
+    def query(self, points: np.ndarray) -> np.ndarray:
+        dist, idx = self.tree.query(points, k=4)
+        # Hoppe: signed distance to the plane of the nearest point
+        gap = points[:, None, :] - self.verts[idx]      # [N, 4, 3]
+        signed = np.einsum("nkc,nkc->nk", gap, self.vert_normals[idx])
+        w = 1.0 / np.maximum(dist, 1e-8)
+        return (np.sum(signed * w, axis=1) / np.sum(w, axis=1)).astype(
+            np.float32)
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        return self.query(points) < 0.0
+
+
+# ---------------------------------------------------------------------------
+
+
 class PIFuDataset:
     """Map-style geometry-training dataset (reference PIFuDataset)."""
 
@@ -57,6 +146,14 @@ class PIFuDataset:
         self.rotations = range(0, 360, 360 // max(self.opt.rotation_num, 1))
         self.datasets = list(self.opt.types)
         self.scales = {d: s for d, s in zip(self.datasets, self.opt.scales)}
+        self.prior_type = cfg.net.prior_type
+        self.use_sdf = cfg.sdf
+        self.sdf_clip = cfg.sdf_clip
+        self.epoch = 0
+        # noise applies in train split only (reference uses cfg scales as-is;
+        # test noise buckets come from explicit overrides)
+        self.noise_type = tuple(self.opt.noise_type)
+        self.noise_scale = tuple(self.opt.noise_scale)
 
         self.subjects: List[str] = []
         for d in self.datasets:
@@ -74,6 +171,12 @@ class PIFuDataset:
         self.in_total = [("image", 3), ("normal_F", 3), ("normal_B", 3),
                          ("T_normal_F", 3), ("T_normal_B", 3)]
 
+        self._smpl_cache: Dict[str, np.ndarray] = {}
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the sampling seed so each epoch draws fresh points."""
+        self.epoch = int(epoch)
+
     def __len__(self):
         return len(self.subjects) * len(list(self.rotations))
 
@@ -83,8 +186,10 @@ class PIFuDataset:
         return {
             "calib": osp.join(folder, "calib", f"{rotation:03d}.txt"),
             "render": osp.join(folder, "render", f"{rotation:03d}.png"),
+            "vis": osp.join(folder, "vis", f"{rotation:03d}"),
             "folder": folder,
             "mesh": osp.join(self.root, d, "scans", s, f"{s}.obj"),
+            "fit": osp.join(self.root, d, "fits", s, "smplx_param.pkl"),
         }
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
@@ -108,13 +213,22 @@ class PIFuDataset:
                 item[name] = _imagepath2tensor(path, ch)
 
         verts, faces = self._load_mesh(p["mesh"], subject)
+        seed = (stable_hash(f"{subject}_{rotation}")
+                ^ (self.epoch * 0x9E3779B9)) % (2 ** 31)
         samples, labels = sample_points_with_labels(
             verts, faces, item["calib"],
             num_sample_geo=self.opt.num_sample_geo,
             sigma_geo=self.opt.sigma_geo / 100.0,
-            seed=abs(hash(subject)) % (2 ** 31))
+            seed=seed, use_sdf=self.use_sdf, sdf_clip=self.sdf_clip / 100.0)
         item["sample"] = samples
         item["label"] = labels[:, None]
+
+        if osp.exists(p["fit"]):
+            item.update(self.load_smpl(p, subject, rotation, item["calib"],
+                                       samples))
+            if self.prior_type == "pamir":
+                item.update(self.load_smpl_voxel(p, subject, rotation,
+                                                 item["calib"]))
         if self.split in ("test", "val"):
             item["verts"] = verts
             item["faces"] = faces
@@ -127,49 +241,222 @@ class PIFuDataset:
         verts = verts * self.scales.get(d, 1.0)
         return verts, faces
 
+    # -- SMPL prior features ------------------------------------------------
+
+    def compute_smpl_verts(self, fit_path: str, subject: str, rotation: int,
+                           scale: float):
+        """Fitted SMPL-X verts with pose/beta noise
+        (PIFuDataset.compute_smpl_verts :322-350, add_noise :291-320)."""
+        from icon_tpu.models.smplx.assets import (load_fit_body,
+                                                  load_smplx_param)
+        param = load_smplx_param(fit_path)
+        pose = np.array(param["body_pose"], np.float32).reshape(-1).copy()
+        betas = np.array(param["betas"], np.float32).reshape(-1).copy()
+
+        rng = np.random.RandomState(
+            stable_hash(f"{subject.split('/')[-1]}_{rotation}"))
+        nt, ns = list(self.noise_type), list(self.noise_scale)
+        if "beta" in nt and ns[nt.index("beta")] > 0:
+            betas = betas + (rng.rand(len(betas)) - 0.5) * 2.0 * \
+                ns[nt.index("beta")]
+        if "pose" in nt and ns[nt.index("pose")] > 0:
+            idx = [i for i in NOISE_SMPLX_IDX if i < len(pose)]
+            pose[idx] += ((rng.rand(len(idx)) - 0.5) * 2.0 * np.pi *
+                          ns[nt.index("pose")]).astype(np.float32)
+
+        noise_dict = dict(betas=betas[None].astype(np.float32),
+                          body_pose=pose[None].astype(np.float32))
+        verts, joints, faces = load_fit_body(fit_path, scale,
+                                             noise_dict=noise_dict)
+        return verts, faces
+
+    def load_smpl(self, p: Dict[str, str], subject: str, rotation: int,
+                  calib: np.ndarray, samples: np.ndarray
+                  ) -> Dict[str, np.ndarray]:
+        """SMPL feature dict in calib space (load_smpl,
+        PIFuDataset.py:402-465)."""
+        from icon_tpu.models.smplx.assets import SMPLX, get_smpl_model
+        d = subject.split("/")[0]
+        scale = self.scales.get(d, 1.0)
+        smpl_verts, smpl_faces = self.compute_smpl_verts(
+            p["fit"], subject, rotation, scale)
+        smpl_verts = projection_np(smpl_verts, calib).astype(np.float32)
+
+        # per-view visibility: precomputed vis/{rot}.pt (reference
+        # vis_single.py) or .npy from our offline pipeline
+        vis = None
+        for ext, loader in ((".npy", np.load), (".pt", _torch_load_np)):
+            vpath = p["vis"] + ext
+            if osp.exists(vpath):
+                vis = np.asarray(loader(vpath), np.float32).reshape(-1, 1)
+                break
+        if vis is None:
+            # front-facing heuristic (outward normal toward camera); offline
+            # precompute (scripts/render_dataset.py) writes exact vis files
+            vn = vertex_normals_np(smpl_verts, smpl_faces)
+            vis = (vn[:, 2:3] < 0.0).astype(np.float32)
+
+        reg = SMPLX()
+        if osp.exists(reg.cmap_vert_path):
+            cmap = reg.cmap.astype(np.float32)
+        else:
+            model = get_smpl_model()
+            t = np.asarray(model.v_template)
+            cmap = ((t - t.min(0)) / (t.max(0) - t.min(0))).astype(np.float32)
+
+        query = projection_np(samples, calib).astype(np.float32)
+        hoppe = HoppeSDF(smpl_verts, smpl_faces)
+        pts_signs = np.where(hoppe.contains(query), 1.0, -1.0).astype(
+            np.float32)
+
+        out = {
+            "smpl_verts": smpl_verts,
+            "smpl_faces": smpl_faces.astype(np.int32),
+            "smpl_vis": vis,
+            "smpl_cmap": cmap[:len(smpl_verts)],
+            "pts_signs": pts_signs,
+        }
+        key = f"vf_{len(smpl_verts)}_{len(smpl_faces)}"
+        if key not in self._smpl_cache:
+            from icon_tpu.ops.sdf_fast import build_vertex_face_table
+            self._smpl_cache[key] = build_vertex_face_table(
+                smpl_faces, len(smpl_verts))
+        out["smpl_vf_table"] = self._smpl_cache[key]
+        return out
+
+    def load_smpl_voxel(self, p: Dict[str, str], subject: str, rotation: int,
+                        calib: np.ndarray) -> Dict[str, np.ndarray]:
+        """PaMIR voxel vertices + semantic codes
+        (load_smpl_voxel/compute_voxel_verts, PIFuDataset.py:352-400,466-481).
+
+        Uses the TetraSMPL when the tedra assets are installed, otherwise the
+        fitted SMPL-X surface; verts are padded to a fixed count, projected,
+        then halved ('voxel_verts *= 0.5')."""
+        from icon_tpu.models.smplx.assets import SMPLX
+        reg = SMPLX()
+        d = subject.split("/")[0]
+        scale = self.scales.get(d, 1.0)
+
+        tetra_model = osp.join(reg.model_dir, "smpl", "SMPL_MALE.pkl")
+        tetra_add = osp.join(reg.tedra_dir, "tetra_male_adult_smpl.npz")
+        if osp.exists(tetra_model) and osp.exists(tetra_add):
+            verts, codes = self._tetra_verts(p, subject, rotation, scale,
+                                             tetra_model, tetra_add)
+        else:
+            verts, _ = self.compute_smpl_verts(p["fit"], subject, rotation,
+                                               scale)
+            codes = ((verts - verts.min(0)) /
+                     np.maximum(verts.max(0) - verts.min(0), 1e-6))
+
+        pad_v = max(8000 - len(verts), 0)
+        verts = np.pad(verts[:8000], ((0, pad_v), (0, 0)))
+        codes = np.pad(codes[:8000], ((0, pad_v), (0, 0)))
+        verts = projection_np(verts, calib) * 0.5
+        return {"voxel_verts": verts.astype(np.float32),
+                "voxel_codes": codes.astype(np.float32)}
+
+    def _tetra_verts(self, p, subject, rotation, scale, model_path, add_path):
+        from icon_tpu.models.smplx.assets import load_smplx_param
+        from icon_tpu.models.smplx.tetra import load_tetra_body_model
+        import jax.numpy as jnp
+        model, extras = load_tetra_body_model(model_path, add_path)
+        param = load_smplx_param(p["fit"])
+        # reference drives the tetra model with the separate SMPL fit; when
+        # only the SMPL-X fit exists we reuse its pose/shape (first 23*3 dofs)
+        pose = np.array(param["body_pose"], np.float32).reshape(-1)[:69]
+        pose = np.pad(pose, (0, 69 - len(pose)))
+        betas = np.array(param["betas"], np.float32).reshape(-1)[:10]
+        verts, _ = model.forward(
+            betas=jnp.asarray(betas[None]),
+            global_orient=jnp.asarray(
+                np.array(param["global_orient"], np.float32).reshape(1, 3)),
+            body_pose=jnp.asarray(pose[None]))
+        verts = np.asarray(verts[0])
+        fit_scale = float(np.asarray(param.get("scale", 1.0)).reshape(()))
+        transl = np.asarray(param.get("translation", np.zeros(3)),
+                            np.float32).reshape(3)
+        verts = (verts * fit_scale + transl) * scale
+        t = np.asarray(model.v_template)
+        codes = ((t - t.min(0)) / np.maximum(t.max(0) - t.min(0), 1e-6))
+        return verts.astype(np.float32), codes.astype(np.float32)
+
+
+def _torch_load_np(path: str) -> np.ndarray:
+    import torch
+    return torch.load(path, map_location="cpu",
+                      weights_only=True).numpy()
+
 
 def sample_points_with_labels(verts: np.ndarray, faces: np.ndarray,
                               calib: np.ndarray, num_sample_geo: int,
-                              sigma_geo: float, seed: int = 0):
-    """The get_sampling_geo procedure with winding-number inside labels."""
-    import jax.numpy as jnp
-    from icon_tpu.ops.mesh import vertex_normals
-    from icon_tpu.ops.sdf import check_inside
+                              sigma_geo: float, seed: int = 0,
+                              use_sdf: bool = False,
+                              sdf_clip: float = 0.05):
+    """get_sampling_geo on host (PIFuDataset.py:483-607).
 
+    Surface samples are area-weighted over faces with barycentric jitter
+    (improves on the reference's uniform vertex choice), offset along
+    interpolated normals; labels are occupancy (Hoppe contains) or clipped
+    SDF mapped to [0, 1]."""
     rng = np.random.RandomState(seed)
-    V = len(verts)
+
+    tri = verts[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(fn, axis=1)
+    fprob = area / max(area.sum(), 1e-12)
+
     n_surf = 4 * num_sample_geo
-    ids = rng.choice(V, n_surf, replace=True)
-    vn = np.asarray(vertex_normals(jnp.asarray(verts)[None],
-                                   jnp.asarray(faces)))[0]
+    fids = rng.choice(len(faces), n_surf, p=fprob)
+    r1 = np.sqrt(rng.rand(n_surf, 1)).astype(np.float32)
+    r2 = rng.rand(n_surf, 1).astype(np.float32)
+    w0, w1, w2 = 1 - r1, r1 * (1 - r2), r1 * r2
+    t = tri[fids]
+    samples_surface = (w0 * t[:, 0] + w1 * t[:, 1] + w2 * t[:, 2]).astype(
+        np.float32)
+    vn = vertex_normals_np(verts, faces)
+    n_interp = (w0 * vn[faces[fids, 0]] + w1 * vn[faces[fids, 1]] +
+                w2 * vn[faces[fids, 2]])
+    n_interp /= np.maximum(np.linalg.norm(n_interp, axis=1, keepdims=True),
+                           1e-12)
     offset = rng.normal(scale=sigma_geo, size=(n_surf, 1)).astype(np.float32)
-    samples_surface = verts[ids] + vn[ids] * offset
+    samples_surface = samples_surface + n_interp * offset
 
     n_space = num_sample_geo // 4
     calib_inv = np.linalg.inv(calib)
     space_img = (2.0 * rng.rand(n_space, 3) - 1.0).astype(np.float32)
-    h = np.concatenate([space_img, np.ones((n_space, 1), np.float32)], 1)
-    samples_space = (h @ calib_inv.T)[:, :3]
+    samples_space = projection_np(space_img, calib_inv)
 
     samples = np.concatenate([samples_surface, samples_space]).astype(
         np.float32)
     rng.shuffle(samples)
 
-    inside = np.asarray(check_inside(jnp.asarray(verts)[None],
-                                     jnp.asarray(faces),
-                                     jnp.asarray(samples)[None]))[0]
-    inside_samples = samples[inside]
-    outside_samples = samples[~inside]
-    nin = len(inside_samples)
-    half = num_sample_geo // 2
-    if nin > half:
-        inside_samples = inside_samples[:half]
-        outside_samples = outside_samples[:half]
+    hoppe = HoppeSDF(verts, faces)
+    sdf = hoppe.query(samples)
+
+    if use_sdf:
+        order = np.argsort(sdf >= 0, kind="stable")      # inside first
+        keep = np.concatenate([
+            order[sdf[order] < 0][:num_sample_geo // 2],
+            order[sdf[order] >= 0][:num_sample_geo // 2]])
+        samples, sdfv = samples[keep], sdf[keep]
+        # clip + map to occupancy-like [0,1], inside -> 1 (reference
+        # get_sampling_geo sdf branch)
+        labels = (-np.clip(sdfv, -sdf_clip, sdf_clip) + sdf_clip) \
+            / (2 * sdf_clip)
     else:
-        outside_samples = outside_samples[:num_sample_geo - nin]
-    samples = np.concatenate([inside_samples, outside_samples])
-    labels = np.concatenate([np.ones(len(inside_samples), np.float32),
-                             np.zeros(len(outside_samples), np.float32)])
+        inside = sdf < 0
+        inside_samples = samples[inside]
+        outside_samples = samples[~inside]
+        nin = len(inside_samples)
+        half = num_sample_geo // 2
+        if nin > half:
+            inside_samples = inside_samples[:half]
+            outside_samples = outside_samples[:half]
+        else:
+            outside_samples = outside_samples[:num_sample_geo - nin]
+        samples = np.concatenate([inside_samples, outside_samples])
+        labels = np.concatenate([np.ones(len(inside_samples), np.float32),
+                                 np.zeros(len(outside_samples), np.float32)])
     # pad to fixed size (static shapes downstream)
     short = num_sample_geo - len(samples)
     if short > 0:
@@ -196,7 +483,9 @@ class NormalDataset:
 
 class DataLoader:
     """Threaded, batched, shuffled loader (replaces the torch DataLoader
-    workers; reference PIFuDataModule.py:41-44)."""
+    workers; reference PIFuDataModule.py:41-44). All dataset work is numpy/
+    scipy (GIL released in the hot parts); batches prefetch ahead of the
+    training step."""
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True):
@@ -206,6 +495,12 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -216,7 +511,7 @@ class DataLoader:
         import concurrent.futures as cf
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.RandomState(self.seed).shuffle(order)
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
@@ -226,7 +521,9 @@ class DataLoader:
             out = {}
             for k in items[0]:
                 vals = [it[k] for it in items]
-                if isinstance(vals[0], np.ndarray):
+                if k in SHARED_KEYS:
+                    out[k] = vals[0]
+                elif isinstance(vals[0], np.ndarray):
                     out[k] = np.stack(vals)
                 else:
                     out[k] = vals

@@ -210,7 +210,8 @@ class HGPIFuNet(nn.Module):
             smpl_feat_pts = jnp.concatenate(feat_lst, axis=-1)  # [B, N, D]
         elif self.prior_type == "pamir":
             vol = voxelize_semantic(smpl_feat["voxel_verts"],
-                                    smpl_feat["voxel_codes"])
+                                    smpl_feat["voxel_codes"],
+                                    res=net.voxel_res)
             vol_feats = self.ve(vol, train=train,
                                 intermediate_output=train)
 

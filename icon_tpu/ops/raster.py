@@ -221,20 +221,19 @@ def rasterize(verts_ndc: jnp.ndarray, faces: jnp.ndarray,
 
 
 def vertex_visibility(verts_ndc: jnp.ndarray, faces: jnp.ndarray,
-                      res: int = 1024, eps: float = 2e-3) -> jnp.ndarray:
-    """Per-vertex visibility via depth test against the rasterized z-buffer
-    (replaces the reference's 4096^2 rasterize + face-id unique pass,
-    mesh_util.py:280-316). Returns ``[V, 1]`` float 0/1."""
-    out = rasterize(verts_ndc, faces, jnp.zeros((verts_ndc.shape[0], 1)),
+                      res: int = 1024) -> jnp.ndarray:
+    """Per-vertex visibility with the reference's face-id semantics
+    (mesh_util.py:280-316, rasterize + unique(pix_to_face) -> the vertices of
+    every front-most face are visible): one scatter over the pix_to_face
+    image — no depth-epsilon tuning. The reference rasterizes at 4096^2;
+    at SMPL face density 1024^2 already gives every front face tens of
+    pixels, and ``res`` scales up for exactness. Returns ``[V, 1]``."""
+    V = verts_ndc.shape[0]
+    out = rasterize(verts_ndc, faces, jnp.zeros((V, 1)),
                     H=res, W=res, K=512)
-    # 3x3 min-pool handles vertices that project onto silhouette-boundary
-    # pixels their own face doesn't cover
-    zmin = -jax.lax.reduce_window(-out.depth, -jnp.inf, jax.lax.max,
-                                  (3, 3), (1, 1), "SAME")
-    xy = (verts_ndc[:, :2] + 1.0) * 0.5 * res
-    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, res - 1)
-    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, res - 1)
-    zbuf = zmin[yi, xi]
-    uncovered = zbuf >= _BIG      # silhouette rim: nothing rasterized here
-    vis = (verts_ndc[:, 2] <= zbuf + eps) | uncovered
-    return vis.astype(jnp.float32)[:, None]
+    pf = out.pix_to_face.reshape(-1)                  # [res*res]
+    fv = faces[jnp.maximum(pf, 0)]                    # [P, 3] vertex ids
+    fv = jnp.where(pf[:, None] >= 0, fv, V)           # invalid -> OOB slot
+    vis = jnp.zeros((V,), jnp.float32).at[fv.reshape(-1)].set(
+        1.0, mode="drop")
+    return vis[:, None]

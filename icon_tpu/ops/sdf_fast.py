@@ -205,7 +205,14 @@ def cal_sdf_batch_fast(verts: jnp.ndarray, faces: jnp.ndarray,
                        points: jnp.ndarray,
                        vert_face_table: jnp.ndarray,
                        k: int = 4):
-    """Batched drop-in for ops.sdf.cal_sdf_batch using the fast kernel."""
-    fn = lambda p, v, c, vi: point_body_features(
-        p, v, faces, vert_face_table, c, vi, k=k)
-    return jax.vmap(fn)(points, verts, cmaps, vis)
+    """Batched drop-in for ops.sdf.cal_sdf_batch using the fast kernel.
+
+    The batch axis unrolls as a Python loop (B is static and small) rather
+    than ``jax.vmap``: vmapping the kernel turns its row gathers into batched
+    gathers, which XLA:TPU lowers ~7x slower — measured 4.58 s vs 0.61 s at
+    N=400k, B=1 on v5e."""
+    B = points.shape[0]
+    outs = [point_body_features(points[b], verts[b], faces,
+                                vert_face_table, cmaps[b], vis[b], k=k)
+            for b in range(B)]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))

@@ -45,9 +45,21 @@ def reconstruction_resolutions(mcube_res: int) -> Tuple[int, ...]:
 
 def default_budgets(resolutions: Sequence[int]) -> Tuple[int, ...]:
     """Per-level re-evaluation budgets (levels 1..n-1; faster mode never uses
-    the last entry). Sized at ~24 * r^2, comfortably above the dilated
-    surface-shell size of a human scan."""
-    return tuple(min(r ** 3, 24 * r * r) for r in resolutions[1:])
+    the last entry).
+
+    Sized from measured dilated-boundary voxel counts: an ellipsoid body
+    shell measures ~(4.3, 3.3, 1.7) * r^2 at the (9, 7, 3) dilation kernels;
+    a clothed human has ~3x that surface area (limbs, folds), and a further
+    ~1.3x headroom gives (18, 14, 7) * r^2. Padded budget slots still pay
+    full query compute, so oversizing directly costs time; the engine
+    reports per-level overflow so callers can raise budgets when a scan
+    exceeds them (stats['levelN_overflow'])."""
+    out = []
+    for lv, r in enumerate(resolutions[1:], start=1):
+        k = 9 if lv == 1 else (7 if lv == 2 else 3)
+        mult = {9: 18, 7: 14, 3: 7}[k]
+        out.append(min(r ** 3, mult * r * r))
+    return tuple(out)
 
 
 def _compact(mask_flat: jnp.ndarray, budget: int):

@@ -78,11 +78,27 @@ def train_step(state: TrainState,
     # occupancy accuracy/IoU at 0.5 (reference Evaluator.calc_acc,
     # lib/dataset/Evaluator.py:232-263)
     metrics = {"loss": loss}
-    if "label" in batch:
-        hard = (pred > 0.5).astype(jnp.float32)
-        lab = (batch["label"] > 0.5).astype(jnp.float32)
-        inter = jnp.sum(hard * lab)
-        union = jnp.sum(jnp.maximum(hard, lab))
-        metrics["acc"] = jnp.mean((hard == lab).astype(jnp.float32))
-        metrics["iou"] = inter / jnp.maximum(union, 1.0)
+    metrics.update(_occ_metrics(pred, batch))
     return new_state, metrics
+
+
+def _occ_metrics(pred, batch):
+    if "label" not in batch:
+        return {}
+    hard = (pred > 0.5).astype(jnp.float32)
+    lab = (batch["label"] > 0.5).astype(jnp.float32)
+    inter = jnp.sum(hard * lab)
+    union = jnp.sum(jnp.maximum(hard, lab))
+    return {"acc": jnp.mean((hard == lab).astype(jnp.float32)),
+            "iou": inter / jnp.maximum(union, 1.0)}
+
+
+def eval_step(state: TrainState,
+              batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Validation loss/acc without a parameter update (reference
+    validation_step, apps/ICON.py:238-283)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pred, err = state.apply_fn(variables, batch, train=False)
+    metrics = {"loss": err}
+    metrics.update(_occ_metrics(pred, batch))
+    return metrics

@@ -11,6 +11,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from icon_tpu.utils.jax_cache import enable as _enable_cache
+_enable_cache()
+
 
 def _sync(out):
     """On the axon platform block_until_ready is unreliable; force a tiny
