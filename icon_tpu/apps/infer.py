@@ -2,15 +2,19 @@
 north-star API).
 
 Pipeline per image (reference call stack, SURVEY.md §3.1):
-  1. load RGBA image (+ precomputed SMPL init: ``<name>_smpl.npz`` with
-     betas/body_pose/global_orient/transl/scale — produced by an HPS
-     estimator; the bundled PyMAF-equivalent port lands in a later round,
-     until then bring-your-own fit or the neutral body is used),
-  2. predict cloth normals (NormalNet; random-init unless -ckpt given),
-  3. SMPL refinement against normals + silhouette (100 iters),
-  4. implicit occupancy reconstruction at -mcube_res via the octree engine,
-  5. optional cloth refinement (200 iters of LocalAffine),
-  6. vertex coloring from the input image + OBJ/turntable export.
+  1. TestDataset preprocessing: crop around the person matte (alpha channel,
+     or full frame for RGB) + PyMAF SMPL initialization
+     (TestDataset.py:194-287). A precomputed ``<name>_smpl.npz`` fit
+     overrides the HPS output when present.
+  2. SMPL body fitting against the evolving predicted cloth normals +
+     front/back silhouettes (infer.py:123-273) — the normal net re-runs
+     every iteration inside the jitted step.
+  3. implicit occupancy reconstruction at -mcube_res via the octree engine;
+     budget/bin overflow stats are CHECKED and reported loudly.
+  4. isotropic remesh (infer.py:402 -> mesh_util.py:109) before
+  5. cloth refinement (200 iters of LocalAffine, infer.py:431-505),
+  6. vertex coloring from the input image + OBJ/turntable export; garment
+     extraction when a segmentation json is provided (-seg_dir).
 
 Usage:
   python -m icon_tpu.apps.infer -cfg configs/icon-filter.yaml \
@@ -20,20 +24,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import os.path as osp
 
 import numpy as np
-
-
-def load_image_rgba(path: str, size: int = 512):
-    from PIL import Image
-    img = Image.open(path).convert("RGBA").resize((size, size))
-    arr = np.asarray(img, np.float32) / 255.0
-    rgb = (arr[..., :3] * 2 - 1) * arr[..., 3:4]
-    mask = (arr[..., 3] > 0.5).astype(np.float32)
-    return rgb.astype(np.float32), mask
 
 
 def main():
@@ -41,24 +35,31 @@ def main():
     ap.add_argument("-cfg", "--config_file", required=True)
     ap.add_argument("-in_dir", required=True)
     ap.add_argument("-out_dir", required=True)
+    ap.add_argument("-seg_dir", default=None)
     ap.add_argument("-ckpt", default="", help="geometry checkpoint")
     ap.add_argument("-normal_ckpt", default="", help="normal-net checkpoint")
-    ap.add_argument("-smpl_model", default="",
-                    help="SMPL(-X) asset file (.pkl/.npz)")
+    ap.add_argument("-hps_type", default="pymaf")
+    ap.add_argument("-hps_ckpt", default="")
     ap.add_argument("-loop_smpl", type=int, default=100)
     ap.add_argument("-loop_cloth", type=int, default=200)
+    ap.add_argument("-patience", type=int, default=5)
     ap.add_argument("-mcube_res", type=int, default=256)
+    ap.add_argument("-img_size", type=int, default=512,
+                    help="working resolution for crops/renders/refinement")
     ap.add_argument("-export_video", action="store_true")
+    ap.add_argument("-no_remesh", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from icon_tpu.config import load_config
-    from icon_tpu.infer.refine import refine_cloth, refine_smpl
+    from icon_tpu.data.render_dataset import make_calib
+    from icon_tpu.data.test_dataset import TestDataset
+    from icon_tpu.infer.refine import refine_cloth, refine_smpl_live
     from icon_tpu.models.hgpifu import HGPIFuNet
-    from icon_tpu.models.smplx.body import load_body_model
     from icon_tpu.ops.raster import vertex_visibility
+    from icon_tpu.ops.remesh import remesh
     from icon_tpu.recon.engine import (ReconEngine,
                                        reconstruction_resolutions)
     from icon_tpu.recon.export import extract_mesh
@@ -66,136 +67,138 @@ def main():
     from icon_tpu.render.render import query_color, render_normal
     from icon_tpu.training.checkpoints import (load_checkpoint,
                                                partial_warm_start)
-    from icon_tpu.utils.io import save_gif, save_obj
-    from icon_tpu.utils.synthetic import synthetic_body
+    from icon_tpu.utils.io import clean_mesh, save_gif, save_obj
 
     cfg = load_config(args.config_file).replace(test_mode=False,
                                                 mcube_res=args.mcube_res)
     net = HGPIFuNet(cfg)
 
-    if args.smpl_model:
-        body = load_body_model(args.smpl_model)
-        body_faces = body.faces
-    else:
-        print("[infer] no -smpl_model given: using the synthetic body prior")
-        body = None
-        sv, body_faces = synthetic_body(subdiv=5)
-
-    images = sorted(sum([glob.glob(osp.join(args.in_dir, e))
-                         for e in ("*.png", "*.jpg", "*.jpeg")], []))
-    if not images:
+    dataset = TestDataset(args.in_dir, hps_type=args.hps_type,
+                          hps_ckpt=args.hps_ckpt, seg_dir=args.seg_dir,
+                          icon_size=args.img_size)
+    if len(dataset) == 0:
         raise SystemExit(f"no images in {args.in_dir}")
     os.makedirs(args.out_dir, exist_ok=True)
 
-    # init params once on the first image
+    calib8 = make_calib(0.0)
+    calib = jnp.asarray((calib8[4:8] @ calib8[:4])[None])  # render->calib
+
     variables = None
     eng = ReconEngine(reconstruction_resolutions(args.mcube_res))
 
-    for path in images:
-        name = osp.splitext(osp.basename(path))[0]
+    for idx in range(len(dataset)):
+        data = dataset[idx]
+        name = data["name"]
         print(f"[infer] {name}")
-        rgb, mask = load_image_rgba(path)
-        image = jnp.asarray(rgb)[None]
+        image = jnp.asarray(data["image"])
+        body = dataset.hps.body
+        body_faces = data["smpl_faces"]
 
-        in_t = {"image": image}
-
-        # --- SMPL init (precomputed fit or neutral) ---
+        # precomputed fit overrides the HPS estimate when provided
         fit_path = osp.join(args.in_dir, f"{name}_smpl.npz")
-        if body is not None:
-            if osp.exists(fit_path):
-                fit = np.load(fit_path)
-                init_params = {
-                    "betas": fit["betas"].astype(np.float32),
-                    "body_pose": fit["body_pose"].astype(np.float32),
-                    "global_orient":
-                        fit["global_orient"].astype(np.float32),
-                    "trans": fit["transl"].astype(np.float32)}
-            else:
-                nj = (body.num_joints - 1) * 3
-                init_params = {
-                    "betas": np.zeros((1, body.num_betas), np.float32),
-                    "body_pose": np.zeros((1, nj), np.float32),
-                    "global_orient": np.zeros((1, 3), np.float32),
-                    "trans": np.zeros((1, 3), np.float32)}
-            smpl_verts0, _ = body.forward(
-                betas=jnp.asarray(init_params["betas"]),
-                body_pose=jnp.asarray(init_params["body_pose"]),
-                global_orient=jnp.asarray(init_params["global_orient"]),
-                transl=jnp.asarray(init_params["trans"]))
-            smpl_verts0 = smpl_verts0[0]
+        if osp.exists(fit_path):
+            from icon_tpu.models.smplx.lbs import batch_rodrigues
+            fit = np.load(fit_path)
+            nb = body.num_joints - 1
+            bp = np.asarray(batch_rodrigues(jnp.asarray(
+                fit["body_pose"].reshape(-1, 3)))).reshape(1, -1, 3, 3)
+            go = np.asarray(batch_rodrigues(jnp.asarray(
+                fit["global_orient"].reshape(-1, 3)))).reshape(1, 1, 3, 3)
+            init = {"betas": fit["betas"].reshape(1, -1).astype(np.float32),
+                    "body_pose": bp[:, :nb].astype(np.float32),
+                    "global_orient": go.astype(np.float32),
+                    "trans": fit["transl"].reshape(3).astype(np.float32)}
+            scale = float(fit["scale"]) if "scale" in fit else 1.0
         else:
-            smpl_verts0 = jnp.asarray(sv)
-
-        # --- predicted cloth normals (T_normals from the body prior) ---
-        T_nF, _ = render_normal(smpl_verts0, jnp.asarray(body_faces))
-        T_nB, _ = render_normal(smpl_verts0, jnp.asarray(body_faces),
-                                azimuth=180.0)
-        in_t["T_normal_F"] = T_nF[None]
-        in_t["T_normal_B"] = T_nB[None]
+            init = {"betas": data["betas"].astype(np.float32),
+                    "body_pose": data["body_pose"].astype(np.float32),
+                    "global_orient": data["global_orient"].astype(
+                        np.float32),
+                    "trans": data["trans"].astype(np.float32)}
+            scale = float(data["scale"])
 
         if variables is None:
-            init_batch = dict(in_t)
-            init_batch.update({
-                "sample": jnp.zeros((1, 8, 3)), "calib": jnp.eye(4)[None]})
-            if cfg.net.prior_type == "icon":
-                init_batch.update(_icon_feats(smpl_verts0, body_faces))
-            variables = net.init(jax.random.PRNGKey(0), init_batch,
-                                 train=False)
-            for ck, rename in ((args.ckpt, None),
-                               (args.normal_ckpt,
-                                {"netG": "normal_filter"})):
-                if ck and osp.exists(ck):
-                    loaded = load_checkpoint(ck)
-                    variables = dict(variables)
-                    variables["params"] = partial_warm_start(
-                        variables["params"], loaded["params"], rename)
+            variables = _init_variables(net, image, body, body_faces, args)
 
-        nmlF, nmlB = net.apply(variables, in_t, False,
-                               method=net.predict_normals)
-        in_t["normal_F"] = nmlF
-        in_t["normal_B"] = nmlB
+        def normal_fn(in_t):
+            return net.apply(variables, in_t, False,
+                             method=net.predict_normals)
 
-        # --- SMPL refinement ---
-        if body is not None and args.loop_smpl > 0:
-            refined, smpl_verts, losses = refine_smpl(
-                body, body_faces, init_params, nmlF[0], nmlB[0],
-                jnp.asarray(mask), iters=args.loop_smpl)
-            print(f"  smpl refine: {losses[0]:.4f} -> {losses[-1]:.4f}")
+        # --- SMPL body fitting ---
+        if args.loop_smpl > 0 and cfg.net.prior_type != "pifu":
+            smpl_verts, (nmlF, nmlB), losses = refine_smpl_live(
+                body, body_faces, image, init, normal_fn, scale,
+                iters=args.loop_smpl, patience=args.patience,
+                size=args.img_size)
+            print(f"  smpl fit: {losses[0]:.4f} -> {losses[-1]:.4f}")
+            smpl_verts = jnp.asarray(smpl_verts)
+            nmlF, nmlB = jnp.asarray(nmlF)[None], jnp.asarray(nmlB)[None]
         else:
-            smpl_verts = smpl_verts0
+            nb = init["body_pose"].shape[1]
+            v0, _ = body.forward(
+                betas=jnp.asarray(init["betas"]),
+                global_orient=jnp.asarray(
+                    init["global_orient"]).reshape(1, 9),
+                body_pose=jnp.asarray(init["body_pose"]).reshape(1, nb * 9),
+                pose2rot=False)
+            smpl_verts = (v0[0] + jnp.asarray(init["trans"])[None]) * scale
+            T_nF, _ = render_normal(smpl_verts, jnp.asarray(body_faces),
+                                    size=args.img_size)
+            T_nB, _ = render_normal(smpl_verts, jnp.asarray(body_faces),
+                                    size=args.img_size, azimuth=180.0)
+            nmlF, nmlB = normal_fn({"image": image[None],
+                                    "T_normal_F": T_nF[None],
+                                    "T_normal_B": T_nB[None]})
+
+        in_t = {"image": image[None], "normal_F": nmlF, "normal_B": nmlB}
 
         # --- implicit reconstruction ---
         features = net.apply(variables, in_t, False, method=net.filter)
-        smpl_feat = _icon_feats(smpl_verts, body_faces) \
+        smpl_feat = _icon_feats(smpl_verts, body_faces, calib[0]) \
             if cfg.net.prior_type == "icon" else None
 
         def query_fn(pts):
-            return net.apply(variables, features, pts, jnp.eye(4)[None],
+            return net.apply(variables, features, pts, calib,
                              smpl_feat, False, method=net.query)[-1]
 
-        occ, stats = eng(query_fn)
+        occ, stats = eng(query_fn, jit_levels=True)
+        for k, v in stats.items():
+            if k.endswith("overflow") and int(v) > 0:
+                print(f"  WARNING: recon {k}={int(v)} — geometry may be "
+                      "lost; raise engine budgets")
         verts, faces = extract_mesh(occ)
+        shift = 2.0 / (eng.resolutions[-1] - 1)
+        verts = (verts + shift) * np.array([1, -1, 1], np.float32)
         if cfg.clean_mesh:
-            from icon_tpu.utils.io import clean_mesh
             verts, faces = clean_mesh(verts, faces)
         print(f"  recon: {len(verts)} verts, {len(faces)} faces")
         save_obj(osp.join(args.out_dir, f"{name}_recon.obj"), verts, faces)
 
+        # --- remesh (reference infer.py:402) ---
+        if len(verts) and not args.no_remesh:
+            verts, faces = remesh(verts, faces)
+            print(f"  remesh: {len(verts)} verts, {len(faces)} faces")
+
         # --- cloth refinement ---
         if args.loop_cloth > 0 and len(verts):
             refined_verts, closses = refine_cloth(
-                verts, faces, nmlF[0], nmlB[0], iters=args.loop_cloth)
+                verts, faces, nmlF[0], nmlB[0], iters=args.loop_cloth,
+                size=args.img_size)
             print(f"  cloth refine: {closses[0]:.4f} -> {closses[-1]:.4f}")
             verts = refined_verts
             save_obj(osp.join(args.out_dir, f"{name}_refine.obj"),
                      verts, faces)
 
-        # --- vertex colors + turntable ---
+        # --- vertex colors + garments + turntable ---
         if len(verts):
             colors = np.asarray(query_color(
-                jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(rgb)))
+                jnp.asarray(verts), jnp.asarray(faces),
+                jnp.asarray(data["image"])))
             save_obj(osp.join(args.out_dir, f"{name}_recon_color.obj"),
                      verts, faces, colors)
+            if args.seg_dir is not None:
+                _extract_garments(args, name, verts, faces,
+                                  np.asarray(smpl_verts), body_faces)
             if args.export_video:
                 frames = []
                 for az in range(0, 360, 10):
@@ -210,22 +213,84 @@ def main():
     print("[infer] done")
 
 
-def _icon_feats(smpl_verts, body_faces):
+def _init_variables(net, image, body, body_faces, args):
+    import jax
+    import jax.numpy as jnp
+    from icon_tpu.training.checkpoints import (load_checkpoint,
+                                               partial_warm_start)
+    init_batch = {
+        "image": image[None],
+        "T_normal_F": jnp.zeros_like(image)[None],
+        "T_normal_B": jnp.zeros_like(image)[None],
+        "sample": jnp.zeros((1, 8, 3)), "calib": jnp.eye(4)[None]}
+    if net.cfg.net.prior_type == "icon":
+        v0 = body.v_template
+        init_batch.update(_icon_feats(v0, body_faces, jnp.eye(4)))
+        init_batch["sample"] = jnp.zeros((1, 8, 3))
+    variables = net.init(jax.random.PRNGKey(0), init_batch, train=False)
+    import os.path as osp
+    for ck, rename in ((args.ckpt, None),
+                       (args.normal_ckpt, {"netG": "normal_filter"})):
+        if ck and osp.exists(ck):
+            loaded = load_checkpoint(ck)
+            variables = dict(variables)
+            variables["params"] = partial_warm_start(
+                variables["params"], loaded["params"], rename)
+    return variables
+
+
+def _icon_feats(smpl_verts, body_faces, calib):
+    """SMPL-local features in calib space (reference compute_vis_cmap,
+    apps/ICON.py:317-333)."""
     import jax.numpy as jnp
     import numpy as np
+    from icon_tpu.ops.projection import project
     from icon_tpu.ops.raster import vertex_visibility
-    from icon_tpu.render.camera import verts_to_ndc
-    v = smpl_verts
-    vis = vertex_visibility(verts_to_ndc(v), jnp.asarray(body_faces))
-    vmin = v.min(axis=0)
-    vmax = v.max(axis=0)
-    cmap = (v - vmin) / jnp.maximum(vmax - vmin, 1e-6)
+    from icon_tpu.ops.sdf_fast import build_vertex_face_table
+    from icon_tpu.models.smplx.assets import SMPLX, get_smpl_model
+    import os.path as osp
+
+    v_cal = project(smpl_verts[None], jnp.asarray(calib)[None])[0]
+    vis = vertex_visibility(v_cal, jnp.asarray(body_faces))
+
+    reg = SMPLX()
+    if osp.exists(reg.cmap_vert_path) and \
+            len(reg.cmap) == smpl_verts.shape[0]:
+        cmap = jnp.asarray(reg.cmap)
+    else:
+        vmin = v_cal.min(axis=0)
+        vmax = v_cal.max(axis=0)
+        cmap = (v_cal - vmin) / jnp.maximum(vmax - vmin, 1e-6)
+    vf = build_vertex_face_table(np.asarray(body_faces),
+                                 smpl_verts.shape[0])
     return {
-        "smpl_verts": v[None],
+        "smpl_verts": v_cal[None],
         "smpl_faces": jnp.asarray(body_faces),
         "smpl_cmap": cmap[None],
         "smpl_vis": vis[None],
+        "smpl_vf_table": jnp.asarray(vf),
     }
+
+
+def _extract_garments(args, name, verts, faces, smpl_verts, smpl_faces):
+    import json
+    import os.path as osp
+    seg_path = osp.join(args.seg_dir, f"{name}.json")
+    if not osp.exists(seg_path):
+        return
+    from icon_tpu.ops.cloth_extraction import extract_cloth
+    with open(seg_path) as f:
+        segmentations = json.load(f)
+    for seg in segmentations:
+        garment = extract_cloth(verts, faces, seg)
+        if garment is None:
+            continue
+        g_verts, g_faces = garment
+        out = osp.join(args.out_dir,
+                       f"{name}_{seg.get('type', 'garment')}.obj")
+        from icon_tpu.utils.io import save_obj
+        save_obj(out, g_verts, g_faces)
+        print(f"  garment: {seg.get('type')} -> {len(g_verts)} verts")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,170 @@
+"""In-the-wild test dataset: photo -> crop -> HPS -> SMPL init
+(reference lib/dataset/TestDataset.py:90-287 + lib/pymaf/utils/imutils.py
+process_image :89-185).
+
+Preprocessing contract: images with an alpha channel are used as-is (the
+alpha is the person matte; its bbox drives the crop). RGB images without
+alpha fall back to a full-frame crop with a unit mask — the reference runs a
+detector + rembg matting there; the weight-ported equivalents plug in through
+``segmenter`` when their checkpoints are installed (data/HPS/...).
+
+Outputs per item mirror the reference's data_dict (TestDataset.py:232-287):
+``image`` [512,512,3] in [-1,1] masked, ``mask``, ``betas`` [1,10],
+``body_pose`` [1,23,3,3], ``global_orient`` [1,1,3,3], ``smpl_verts``,
+``scale`` (float), ``trans`` [3].
+"""
+
+from __future__ import annotations
+
+import glob
+import os.path as osp
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def alpha_bbox(alpha: np.ndarray, thresh: float = 0.5,
+               margin: float = 0.1):
+    """Square crop box around the matte (the reference's detector bbox +
+    aug_matrix scaling, imutils.py:89-130)."""
+    ys, xs = np.where(alpha > thresh)
+    H, W = alpha.shape
+    if len(ys) == 0:
+        return 0, 0, min(H, W)
+    y0, y1 = ys.min(), ys.max()
+    x0, x1 = xs.min(), xs.max()
+    size = int(max(y1 - y0, x1 - x0) * (1 + 2 * margin))
+    size = min(size, max(H, W))
+    cy = (y0 + y1) // 2
+    cx = (x0 + x1) // 2
+    top = int(np.clip(cy - size // 2, 0, max(H - size, 0)))
+    left = int(np.clip(cx - size // 2, 0, max(W - size, 0)))
+    return top, left, size
+
+
+def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
+                  segmenter: Optional[Callable] = None):
+    """Returns (img_icon [S,S,3] in [-1,1]*mask, img_hps [224,224,3]
+    ImageNet-normalized, mask [S,S], crop_param)."""
+    from PIL import Image
+    im = Image.open(path)
+    has_alpha = im.mode in ("RGBA", "LA") or "transparency" in im.info
+    rgba = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+    rgb, alpha = rgba[..., :3], rgba[..., 3]
+    if not has_alpha:
+        alpha = segmenter(rgb) if segmenter is not None \
+            else np.ones_like(alpha)
+
+    top, left, size = alpha_bbox(alpha)
+    H, W = alpha.shape
+    pad_h = max(size - H, 0)
+    pad_w = max(size - W, 0)
+    rgb_p = np.pad(rgb, ((0, pad_h), (0, pad_w), (0, 0)))
+    a_p = np.pad(alpha, ((0, pad_h), (0, pad_w)))
+    crop_rgb = rgb_p[top:top + size, left:left + size]
+    crop_a = a_p[top:top + size, left:left + size]
+
+    def resize(img, s):
+        arr = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        return np.asarray(arr.resize((s, s), Image.BILINEAR),
+                          np.float32) / 255.0
+
+    icon_rgb = resize(crop_rgb, icon_size)
+    icon_a = resize(crop_a[..., None].repeat(3, -1), icon_size)[..., 0]
+    img_icon = (icon_rgb * 2 - 1) * (icon_a > 0.5)[..., None]
+
+    hps_rgb = resize(crop_rgb * crop_a[..., None], hps_size)
+    img_hps = (hps_rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+    crop_param = {"top": top, "left": left, "size": size, "ori_hw": (H, W)}
+    return (img_icon.astype(np.float32), img_hps.astype(np.float32),
+            (icon_a > 0.5).astype(np.float32), crop_param)
+
+
+class TestDataset:
+    """In-the-wild inference dataset (reference TestDataset)."""
+
+    def __init__(self, image_dir: str, hps_type: str = "pymaf",
+                 hps_ckpt: str = "", seg_dir: Optional[str] = None,
+                 icon_size: int = 512):
+        exts = ("*.png", "*.jpg", "*.jpeg", "*.webp")
+        self.subject_list = sorted(sum(
+            [glob.glob(osp.join(image_dir, e)) for e in exts], []))
+        self.hps_type = hps_type
+        self.seg_dir = seg_dir
+        self.icon_size = icon_size
+        self._hps = None
+        self._hps_ckpt = hps_ckpt
+
+    def __len__(self):
+        return len(self.subject_list)
+
+    @property
+    def hps(self):
+        if self._hps is None:
+            self._hps = get_hps(self.hps_type, self._hps_ckpt)
+        return self._hps
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        import jax.numpy as jnp
+        path = self.subject_list[index]
+        name = osp.splitext(osp.basename(path))[0]
+        img_icon, img_hps, mask, crop_param = process_image(
+            path, icon_size=self.icon_size)
+
+        out = self.hps(jnp.asarray(img_hps)[None])
+
+        item: Dict[str, Any] = {
+            "name": name, "image": img_icon, "mask": mask,
+            "crop_param": crop_param,
+            "smpl_faces": self.hps.faces,
+        }
+        # adaptation (TestDataset.py:232-287, pymaf branch)
+        scale, tranX, tranY = [float(v) for v in out["pred_cam"][0, :3]]
+        item["betas"] = np.asarray(out["pred_shape"])
+        item["body_pose"] = np.asarray(out["rotmat"][:, 1:])
+        item["global_orient"] = np.asarray(out["rotmat"][:, 0:1])
+        item["smpl_verts"] = np.asarray(out["verts"])
+        item["scale"] = scale
+        item["trans"] = np.array([tranX, tranY, 0.0], np.float32)
+        return item
+
+
+class PyMAFWrapper:
+    """Callable HPS: [B,224,224,3] -> final-iteration smpl_out dict."""
+
+    def __init__(self, ckpt: str = ""):
+        import jax
+        from icon_tpu.models.pymaf.net import build_pymaf
+        self.net, self.body = build_pymaf()
+        self.faces = self.body.faces
+        import jax.numpy as jnp
+        dummy = jnp.zeros((1, 224, 224, 3))
+        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
+                                       train=False)
+        if ckpt and osp.exists(ckpt):
+            from icon_tpu.models.pymaf.convert import load_pymaf_checkpoint
+            self.variables = load_pymaf_checkpoint(self.variables, ckpt)
+        else:
+            print("[hps] no PyMAF checkpoint found — RANDOM weights "
+                  "(install data/HPS/pymaf_data to get real fits)")
+        self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
+
+    def __call__(self, img: Any) -> Dict[str, Any]:
+        return self._fwd(self.variables, img)["smpl_out"][-1]
+
+
+def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
+    """HPS registry (reference TestDataset.py:90-126). PyMAF is the default;
+    PARE / PIXIE / HybrIK / BEV register here as their ports land."""
+    if hps_type == "pymaf":
+        if not ckpt:
+            from icon_tpu.models.smplx.assets import data_root
+            ckpt = osp.join(data_root(), "HPS", "pymaf_data",
+                            "pretrained_model", "PyMAF_model_checkpoint.pt")
+        return PyMAFWrapper(ckpt)
+    raise NotImplementedError(
+        f"hps_type {hps_type!r} not ported yet (available: pymaf)")

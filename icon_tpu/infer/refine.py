@@ -108,6 +108,94 @@ def refine_smpl(body_model: BodyModel, faces: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def refine_smpl_live(body_model: BodyModel,
+                     faces: np.ndarray,
+                     image: jnp.ndarray,
+                     init: Dict[str, jnp.ndarray],
+                     normal_fn: Callable[[Dict[str, jnp.ndarray]],
+                                         Tuple[jnp.ndarray, jnp.ndarray]],
+                     scale: float,
+                     iters: int = 100,
+                     lr: float = 1e-3,
+                     size: int = 512,
+                     patience: int = 5,
+                     w_normal: float = 1.0,
+                     w_sil: float = 1.0):
+    """The faithful SMPL body-fitting loop (reference apps/infer.py:123-273):
+
+    - pose/orient are optimized directly as rotation matrices
+      (pose2rot=False, infer.py:174-181);
+    - the cloth-normal targets are RE-predicted every iteration because the
+      normal net's T_normal inputs evolve with the body (infer.py:200-210);
+    - the silhouette term compares BOTH front and back body masks against
+      masks derived from the predicted normal maps (non-background pixels,
+      infer.py:219-231);
+    - SGD(momentum 0.9) with reduce-on-plateau(0.5, patience) scheduling
+      (infer.py:136-148). The reference's normal term sums the front diff
+      twice (infer.py:216 uses diff_F twice — an apparent typo); here F and
+      B both contribute.
+
+    ``init``: betas [1,10], body_pose [1,J-1,3,3], global_orient [1,1,3,3],
+    trans [3]. Returns (refined verts [V,3] in render space, final predicted
+    (normal_F, normal_B), loss history).
+    """
+    faces_j = jnp.asarray(faces)
+    tx = optax.chain(
+        optax.sgd(lr, momentum=0.9),
+        optax.contrib.reduce_on_plateau(factor=0.5, patience=patience,
+                                        min_scale=1e-2))
+
+    def forward_verts(params):
+        nb = params["body_pose"].shape[1]
+        verts, _ = body_model.forward(
+            betas=params["betas"],
+            global_orient=params["global_orient"].reshape(1, 9),
+            body_pose=params["body_pose"].reshape(1, nb * 9),
+            pose2rot=False)
+        return (verts[0] + params["trans"][None]) * scale
+
+    def predict_normals(verts):
+        T_nF, _ = render_normal(verts, faces_j, size=size, azimuth=0.0)
+        T_nB, _ = render_normal(verts, faces_j, size=size, azimuth=180.0)
+        in_t = {"image": image[None], "T_normal_F": T_nF[None],
+                "T_normal_B": T_nB[None]}
+        nF, nB = normal_fn(in_t)
+        return T_nF, T_nB, jax.lax.stop_gradient(nF[0]), \
+            jax.lax.stop_gradient(nB[0])
+
+    def loss_fn(params):
+        verts = forward_verts(params)
+        T_nF, T_nB, nF, nB = predict_normals(verts)
+        silF = render_silhouette(verts, faces_j, size=size, azimuth=0.0)
+        silB = render_silhouette(verts, faces_j, size=size, azimuth=180.0)
+
+        lossN = jnp.mean(jnp.abs(T_nF - nF)) + jnp.mean(jnp.abs(T_nB - nB))
+        # goal masks from the predicted normals (non-background pixels)
+        gtF = (jnp.sum(jnp.abs(nF), axis=-1) > 1e-6).astype(jnp.float32)
+        gtB = (jnp.sum(jnp.abs(nB), axis=-1) > 1e-6).astype(jnp.float32)
+        lossS = 0.5 * (jnp.mean(jnp.abs(silF - gtF)) +
+                       jnp.mean(jnp.abs(silB - gtB)))
+        return w_normal * lossN + w_sil * lossS, (nF, nB)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params, value=loss)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    params = {k: jnp.asarray(v) for k, v in init.items()}
+    opt_state = tx.init(params)
+    losses = []
+    aux = (None, None)
+    for _ in range(iters):
+        params, opt_state, loss, aux = step(params, opt_state)
+        losses.append(float(loss))
+    verts = forward_verts(params)
+    return np.asarray(verts), aux, losses
+
+
 def refine_cloth(verts: np.ndarray, faces: np.ndarray,
                  goal_normal_F: jnp.ndarray, goal_normal_B: jnp.ndarray,
                  iters: int = 200, lr: float = 1e-4, size: int = 512,

@@ -142,15 +142,15 @@ class BodyModel:
         pose_parts = [global_orient]
         if body_pose is not None:
             pose_parts.append(body_pose.reshape(B, -1))
-        else:
+        elif pose2rot:
             n_body = SMPLX_NUM_BODY_JOINTS if self.model_type == "smplx" \
                 else nj - 1
             pose_parts.append(jnp.zeros((B, n_body * 3)))
 
         has_face_hands = any(p is not None for p in (
             jaw_pose, leye_pose, reye_pose, left_hand_pose, right_hand_pose))
-        if self.model_type == "smplx" and (has_face_hands or
-                                           extra_pose is None):
+        if self.model_type == "smplx" and pose2rot and (has_face_hands or
+                                                        extra_pose is None):
             assert extra_pose is None, \
                 "extra_pose conflicts with named face/hand kwargs"
             for p in (jaw_pose, leye_pose, reye_pose):
@@ -161,9 +161,14 @@ class BodyModel:
         elif extra_pose is not None:
             pose_parts.append(extra_pose.reshape(B, -1))
         pose = jnp.concatenate(pose_parts, axis=1)
-        missing = nj * 3 - pose.shape[1]
+        dof = 9 if not pose2rot else 3      # rotmats vs axis-angle per joint
+        missing = nj * dof - pose.shape[1]
         if missing > 0:
-            pose = jnp.concatenate([pose, jnp.zeros((B, missing))], axis=1)
+            if pose2rot:
+                pad = jnp.zeros((B, missing))
+            else:                            # pad with identity rotations
+                pad = jnp.tile(jnp.eye(3).reshape(-1), (B, missing // 9))
+            pose = jnp.concatenate([pose, pad], axis=1)
 
         nb = betas.shape[-1]
         shapedirs = self.shapedirs[..., :nb]

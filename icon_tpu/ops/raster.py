@@ -152,7 +152,12 @@ def rasterize(verts_ndc: jnp.ndarray, faces: jnp.ndarray,
         w0 = e0 / area                             # barycentric (two-sided)
         w1 = e1 / area
         w2 = e2 / area
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & valid_f[:, None, :]
+        # -1e-6 tolerance: on a shared edge fp error can push BOTH adjacent
+        # triangles' edge tests slightly negative, opening 1px cracks that
+        # let occluded geometry bleed through (breaks face-id visibility);
+        # slight double-coverage instead is resolved by the z-buffer.
+        inside = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6) & \
+            valid_f[:, None, :]
 
         zpix = w0 * zz[:, None, :, 0] + w1 * zz[:, None, :, 1] + \
             w2 * zz[:, None, :, 2]                 # [nt, P, K]

@@ -14,4 +14,4 @@ single-GPU inference. Here both axes are first-class TPU citizens:
 
 from icon_tpu.parallel.mesh import (data_sharding, make_mesh,
                                     make_mesh_for_batch, replicate,
-                                    shard_batch, shard_points)
+                                    shard_batch, shard_points, shard_query)

@@ -51,3 +51,25 @@ def shard_points(points: jax.Array, mesh: Mesh, axis: str = "data"):
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_query(query_fn, mesh: Mesh, axis: str = "data"):
+    """Point-parallel occupancy queries (SURVEY §2.4): split the [1, N, 3]
+    point axis across the mesh with shard_map — every device evaluates its
+    slice against the replicated network/body, and the per-device [1, N/d, 1]
+    outputs concatenate back along N (XLA inserts the all-gather). Pass the
+    wrapped fn to ``ReconEngine(..., pad_multiple=mesh.size)`` so static
+    budgets divide evenly."""
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(query_fn, mesh=mesh,
+                   in_specs=P(None, axis, None),
+                   out_specs=P(None, axis, None),
+                   check_rep=False)
+
+    def wrapped(pts):
+        assert pts.shape[1] % mesh.size == 0, \
+            f"point count {pts.shape[1]} not divisible by mesh {mesh.size}"
+        return fn(pts)
+
+    return wrapped

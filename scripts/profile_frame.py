@@ -77,8 +77,8 @@ def main():
 
     # warm
     occ, ev = sync(l0())
-    occ, ev, n1 = sync(step1(occ, ev))
-    occ, ev, n2 = sync(step2(occ, ev))
+    occ, ev, n1, _ = sync(step1(occ, ev))
+    occ, ev, n2, _ = sync(step2(occ, ev))
     occf = sync(up(occ))
     mesh = sync(march(occf))
     print("level points:", int(n1), int(n2), "n_cells", int(mesh.n_cells),
@@ -90,9 +90,9 @@ def main():
         t1 = time.perf_counter()
         occ, ev = sync(l0())
         t2 = time.perf_counter()
-        occ, ev, n1 = sync(step1(occ, ev))
+        occ, ev, n1, _ = sync(step1(occ, ev))
         t3 = time.perf_counter()
-        occ, ev, n2 = sync(step2(occ, ev))
+        occ, ev, n2, _ = sync(step2(occ, ev))
         t4 = time.perf_counter()
         occf = sync(up(occ))
         t5 = time.perf_counter()

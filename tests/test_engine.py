@@ -55,3 +55,38 @@ def test_engine_exact_mode_refines_last_level():
     occ, stats = eng(sphere_query)
     assert occ.shape == (33, 33, 33)
     assert "level1_points" in stats and int(stats["level1_points"]) > 0
+
+
+def test_exact_mode_resolves_conflicts():
+    """Exact mode re-examines neighborhoods of sign-flipping evaluations
+    (reference seg3d_lossless.py:267-471) and must match a dense evaluation
+    at least as well as faster mode on a thin feature."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from icon_tpu.recon.engine import ReconEngine
+
+    axes = jnp.asarray(np.array([0.45, 0.7, 0.2], np.float32))
+
+    def query_fn(pts):
+        rad = jnp.linalg.norm(pts / axes, axis=-1, keepdims=True)
+        return jax.nn.sigmoid((1.0 - rad) * 25.0)
+
+    res = (33, 65)
+    # dense ground truth at 65
+    g = jnp.linspace(0.0, 1.0, 65)
+    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+    import icon_tpu.recon.engine as E
+    pts01 = jnp.stack([xx, yy, zz], -1).reshape(1, -1, 3)
+    dense = query_fn(E._grid_to_world(pts01)).reshape(65, 65, 65)
+    dense_bits = dense > 0.5
+
+    fast_eng = ReconEngine(res, faster=False)
+    exact_eng = ReconEngine(res, exact=True)
+    occ_f, _ = fast_eng(query_fn)
+    occ_e, stats = exact_eng(query_fn)
+    err_f = int(jnp.sum((occ_f > 0.5) != dense_bits))
+    err_e = int(jnp.sum((occ_e > 0.5) != dense_bits))
+    assert err_e <= err_f
+    assert err_e <= 8, err_e            # near-lossless vs dense
+    assert "level1_conflicts" in stats

@@ -1,0 +1,123 @@
+"""PyMAF HPS, in-the-wild preprocessing, remesh, and garment extraction."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_pymaf_forward_shapes():
+    from icon_tpu.models.pymaf.net import build_pymaf
+    net, body = build_pymaf(backbone_width=8, backbone_layers=(1, 1, 1, 1))
+    x = jnp.zeros((2, 224, 224, 3))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(variables, x, train=False)
+    assert len(out["smpl_out"]) == 4           # init + 3 iterations
+    last = out["smpl_out"][-1]
+    assert last["rotmat"].shape == (2, 24, 3, 3)
+    assert last["pred_shape"].shape == (2, 10)
+    assert last["pred_cam"].shape == (2, 3)
+    assert last["verts"].shape[0] == 2
+    # rotmats are valid rotations
+    R = np.asarray(last["rotmat"]).reshape(-1, 3, 3)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)),
+                               atol=1e-4)
+
+
+def test_rot6d_roundtrip():
+    from icon_tpu.models.pymaf.geometry import (identity_rot6d,
+                                                rot6d_to_rotmat,
+                                                rotmat_to_angle_axis)
+    R = rot6d_to_rotmat(identity_rot6d(4).reshape(1, -1))
+    np.testing.assert_allclose(np.asarray(R),
+                               np.tile(np.eye(3), (4, 1, 1)), atol=1e-6)
+    aa = rotmat_to_angle_axis(R)
+    np.testing.assert_allclose(np.asarray(aa), np.zeros((4, 3)), atol=1e-2)
+
+
+def test_pymaf_weight_port_mapping():
+    """A synthetic torch-style state dict round-trips through the name
+    mapping onto the flax tree (values land at the right paths)."""
+    from icon_tpu.models.pymaf.net import build_pymaf
+    from icon_tpu.models.pymaf.convert import port_pymaf
+    net, _ = build_pymaf(backbone_width=8, backbone_layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+
+    p = variables["params"]
+    k0 = np.asarray(p["feature_extractor"]["conv1"]["kernel"])
+    fake_conv1 = np.arange(k0.size, dtype=np.float32).reshape(
+        k0.shape[3], k0.shape[2], k0.shape[0], k0.shape[1])  # torch OIHW
+    fc1 = np.asarray(p["regressor_0"]["fc1"]["kernel"])
+    fake_fc1 = np.ones((fc1.shape[1], fc1.shape[0]), np.float32) * 3
+
+    state = {
+        "feature_extractor.conv1.weight": fake_conv1,
+        "regressor.0.fc1.weight": fake_fc1,
+        "regressor.0.fc1.bias": np.zeros(fc1.shape[1], np.float32),
+        "smpl.v_template": np.zeros((10, 3)),   # no counterpart -> skipped
+    }
+    new, log = port_pymaf(state, variables)
+    got = new["params"]["feature_extractor"]["conv1"]["kernel"]
+    np.testing.assert_allclose(got, np.transpose(fake_conv1, (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        new["params"]["regressor_0"]["fc1"]["kernel"], fake_fc1.T)
+    assert len(log) == 3
+
+
+def test_process_image_rgba(tmp_path):
+    from PIL import Image
+    from icon_tpu.data.test_dataset import process_image
+    rgba = np.zeros((300, 200, 4), np.uint8)
+    rgba[100:250, 60:140, :3] = 180
+    rgba[100:250, 60:140, 3] = 255
+    p = str(tmp_path / "person.png")
+    Image.fromarray(rgba).save(p)
+    img_icon, img_hps, mask, crop = process_image(p, icon_size=128,
+                                                  hps_size=64)
+    assert img_icon.shape == (128, 128, 3)
+    assert img_hps.shape == (64, 64, 3)
+    assert 0.05 < mask.mean() < 0.95
+    # background exactly zero in icon image
+    assert abs(img_icon[0, 0]).max() == 0.0
+
+
+def test_remesh_splits_and_smooths():
+    from icon_tpu.ops.remesh import remesh
+    from icon_tpu.utils.synthetic import icosphere
+    v, f = icosphere(2)
+    v2, f2 = remesh(v.astype(np.float32), f, target_len=0.1)
+    assert len(f2) > len(f)
+    # still roughly a unit sphere
+    r = np.linalg.norm(v2, axis=1)
+    assert 0.8 < r.mean() < 1.05
+
+
+def test_cloth_extraction_polygon():
+    from icon_tpu.ops.cloth_extraction import extract_cloth
+    from icon_tpu.utils.synthetic import icosphere
+    v, f = icosphere(3)
+    v = (v * 0.5).astype(np.float32)
+    # polygon covering the upper half of the image -> upper hemisphere
+    seg = {"type": "shirt",
+           "coordinates": [[[0, 0], [512, 0], [512, 256], [0, 256]]]}
+    out = extract_cloth(v, f, seg)
+    assert out is not None
+    gv, gf = out
+    assert len(gv) < len(v)
+    assert gv[:, 1].min() > -0.2          # upper (y up) part only
+    assert gf.max() < len(gv)
+
+
+def test_smpl_to_recon_labels():
+    from icon_tpu.ops.cloth_extraction import smpl_to_recon_labels
+    smpl = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    recon = np.array([[0.1, 0, 0], [0.9, 0, 0]], np.float32)
+    parts = {"legs": [0], "arm": [1], "head": [2]}
+    out = smpl_to_recon_labels(recon, smpl, parts)
+    assert list(out["legs"]) == [0]
+    assert list(out["arm"]) == [1]
