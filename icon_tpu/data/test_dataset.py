@@ -98,6 +98,7 @@ class TestDataset:
         self.icon_size = icon_size
         self._hps = None
         self._hps_ckpt = hps_ckpt
+        self._segmenter = None
 
     def __len__(self):
         return len(self.subject_list)
@@ -108,12 +109,28 @@ class TestDataset:
             self._hps = get_hps(self.hps_type, self._hps_ckpt)
         return self._hps
 
+    @property
+    def segmenter(self):
+        """U^2-Net matting for RGB inputs when its checkpoint is installed
+        (the reference's rembg); alpha inputs never need it."""
+        if self._segmenter is None:
+            from icon_tpu.models.smplx.assets import data_root
+            for name, lite in (("u2net.pth", False), ("u2netp.pth", True)):
+                p = osp.join(data_root(), "HPS", name)
+                if osp.exists(p):
+                    from icon_tpu.models.u2net import build_segmenter
+                    self._segmenter = build_segmenter(p, lite=lite)
+                    break
+            else:
+                self._segmenter = False
+        return self._segmenter or None
+
     def __getitem__(self, index: int) -> Dict[str, Any]:
         import jax.numpy as jnp
         path = self.subject_list[index]
         name = osp.splitext(osp.basename(path))[0]
         img_icon, img_hps, mask, crop_param = process_image(
-            path, icon_size=self.icon_size)
+            path, icon_size=self.icon_size, segmenter=self.segmenter)
 
         out = self.hps(jnp.asarray(img_hps)[None])
 

@@ -108,7 +108,12 @@ def run_evaluation(cfg, dataset, net, variables,
                                 faces_pr,
                                 gt_ndc * np.array([1, -1, -1], np.float32),
                                 item["faces"], size=nc_size)
+        # bucket per dataset AND noise setting (the reference groups test
+        # metrics by the pose/beta noise configuration, apps/ICON.py:539-541)
         dname = str(item["subject"]).split("/")[0]
+        ns = tuple(getattr(cfg.dataset, "noise_scale", ()) or ())
+        if any(s > 0 for s in ns):
+            dname = f"{dname}@noise{list(ns)}"
         bucket = accum.setdefault(dname, {"chamfer": [], "p2s": [], "NC": []})
         bucket["chamfer"].append(chamfer)
         bucket["p2s"].append(p2s)

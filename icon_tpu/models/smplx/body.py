@@ -227,14 +227,20 @@ def load_body_model(path: str, model_type: Optional[str] = None,
             data = pickle.load(f, encoding="latin1")
 
     if model_type is None:
-        model_type = "smplx" if os.path.basename(path).lower().startswith(
-            "smplx") else "smpl"
+        base = os.path.basename(path).lower()
+        for t in ("smplx", "smplh", "mano", "flame"):
+            if base.startswith(t):
+                model_type = t
+                break
+        else:
+            model_type = "smpl"
 
     vt = _to_np(data["v_template"]).astype(np.float32) \
         if v_template is None else np.asarray(v_template, np.float32)
     shapedirs_all = _to_np(data["shapedirs"]).astype(np.float32)
     expr_dirs = None
-    if model_type == "smplx" and \
+    # SMPL-X and FLAME store 300 shape columns then expression columns
+    if model_type in ("smplx", "flame") and \
             shapedirs_all.shape[-1] > SMPLX_SHAPE_SPACE_DIM:
         expr_dirs = shapedirs_all[
             :, :, SMPLX_SHAPE_SPACE_DIM:
@@ -258,6 +264,10 @@ def load_body_model(path: str, model_type: Optional[str] = None,
         hc_r = jnp.asarray(_to_np(data["hands_componentsr"]), jnp.float32)
         hm_l = jnp.asarray(_to_np(data["hands_meanl"]), jnp.float32)
         hm_r = jnp.asarray(_to_np(data["hands_meanr"]), jnp.float32)
+    elif "hands_components" in data:   # MANO single-hand PCA
+        hc_l = hc_r = jnp.asarray(_to_np(data["hands_components"]),
+                                  jnp.float32)
+        hm_l = hm_r = jnp.asarray(_to_np(data["hands_mean"]), jnp.float32)
 
     if age == "kid" and kid_template_path:
         v_kid = np.load(kid_template_path)

@@ -18,4 +18,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: repeat suite runs skip recompiles
+from icon_tpu.utils.jax_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 assert jax.devices()[0].platform == "cpu"
