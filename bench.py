@@ -70,8 +70,11 @@ def main():
     feat_keys = ("image", "normal_F", "normal_B")
     smpl_keys = ("smpl_verts", "smpl_faces", "smpl_cmap", "smpl_vis")
 
+    # production buffer sizes: a clothed human at 257^3 yields ~150-600k
+    # triangles; marching cost scales with these static buffers (sort +
+    # scatters), and n_tris/n_cells overflow counters police the headroom
     max_cells = 1 << 18
-    max_tris = 1 << 20
+    max_tris = 1 << 19
 
     smpl_feat = {k: batch[k] for k in smpl_keys}
     smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(
@@ -99,7 +102,7 @@ def main():
 
     march_jit = jax.jit(lambda occ: marching_tetrahedra_indexed(
         occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,
-        max_verts=1 << 20))
+        max_verts=1 << 19))
 
     def frame():
         feats = filter_jit(variables, in_t)
