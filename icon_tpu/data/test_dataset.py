@@ -139,12 +139,18 @@ class TestDataset:
             "crop_param": crop_param,
             "smpl_faces": self.hps.faces,
         }
-        # adaptation (TestDataset.py:232-287, pymaf branch)
+        # adaptation (TestDataset.py:232-287; branch per hps type)
+        if self.hps_type == "pare":
+            rotmat = out["pred_pose"]
+            verts = out["smpl_vertices"]
+        else:                                    # pymaf
+            rotmat = out["rotmat"]
+            verts = out["verts"]
         scale, tranX, tranY = [float(v) for v in out["pred_cam"][0, :3]]
         item["betas"] = np.asarray(out["pred_shape"])
-        item["body_pose"] = np.asarray(out["rotmat"][:, 1:])
-        item["global_orient"] = np.asarray(out["rotmat"][:, 0:1])
-        item["smpl_verts"] = np.asarray(out["verts"])
+        item["body_pose"] = np.asarray(rotmat[:, 1:])
+        item["global_orient"] = np.asarray(rotmat[:, 0:1])
+        item["smpl_verts"] = np.asarray(verts)
         item["scale"] = scale
         item["trans"] = np.array([tranX, tranY, 0.0], np.float32)
         return item
@@ -174,14 +180,44 @@ class PyMAFWrapper:
         return self._fwd(self.variables, img)["smpl_out"][-1]
 
 
+class PAREWrapper:
+    """Callable HPS: [B,224,224,3] -> PARE output dict."""
+
+    def __init__(self, ckpt: str = ""):
+        import jax
+        import jax.numpy as jnp
+        from icon_tpu.models.pare import build_pare
+        self.net, self.body = build_pare()
+        self.faces = self.body.faces
+        dummy = jnp.zeros((1, 224, 224, 3))
+        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
+                                       train=False)
+        if ckpt and osp.exists(ckpt):
+            # PARE checkpoints name modules exactly like pare_head.py; a
+            # name-mapped port lands with the weights (none ship here)
+            print(f"[hps] PARE checkpoint at {ckpt} — name-mapped port "
+                  "required; running random-init until provided")
+        else:
+            print("[hps] no PARE checkpoint found — RANDOM weights")
+        self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
+
+    def __call__(self, img):
+        return self._fwd(self.variables, img)
+
+
 def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
     """HPS registry (reference TestDataset.py:90-126). PyMAF is the default;
-    PARE / PIXIE / HybrIK / BEV register here as their ports land."""
+    PIXIE / HybrIK / BEV register here as their ports land."""
+    from icon_tpu.models.smplx.assets import data_root
     if hps_type == "pymaf":
         if not ckpt:
-            from icon_tpu.models.smplx.assets import data_root
             ckpt = osp.join(data_root(), "HPS", "pymaf_data",
                             "pretrained_model", "PyMAF_model_checkpoint.pt")
         return PyMAFWrapper(ckpt)
+    if hps_type == "pare":
+        if not ckpt:
+            ckpt = osp.join(data_root(), "HPS", "pare_data",
+                            "pare_checkpoint.ckpt")
+        return PAREWrapper(ckpt)
     raise NotImplementedError(
-        f"hps_type {hps_type!r} not ported yet (available: pymaf)")
+        f"hps_type {hps_type!r} not ported yet (available: pymaf, pare)")

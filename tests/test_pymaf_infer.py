@@ -121,3 +121,34 @@ def test_smpl_to_recon_labels():
     out = smpl_to_recon_labels(recon, smpl, parts)
     assert list(out["legs"]) == [0]
     assert list(out["arm"]) == [1]
+
+
+def test_pare_forward_shapes():
+    from icon_tpu.models.pare import build_pare
+    net, body = build_pare(backbone_width=4, stage_modules=(1, 1, 1))
+    # non-zero input: the canonical PARE head has no mean-pose residual, so
+    # an all-zero image yields a degenerate zero 6D pose (as in the torch
+    # reference)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 224, 224, 3),
+                    jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(v, x, train=False)
+    assert out["pred_pose"].shape == (2, 24, 3, 3)
+    assert out["pred_shape"].shape == (2, 10)
+    assert out["pred_cam"].shape == (2, 3)
+    assert out["pred_segm_mask"].shape[-1] == 25
+    R = np.asarray(out["pred_pose"]).reshape(-1, 3, 3)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)),
+                               atol=1e-4)
+
+
+def test_keypoint_attention_pools_peak():
+    from icon_tpu.models.pare.net import keypoint_attention
+    feat = jnp.zeros((1, 8, 8, 4)).at[0, 2, 3].set(
+        jnp.array([1.0, 2.0, 3.0, 4.0]))
+    # sharply peaked heatmap at (2, 3) for part 0
+    hm = jnp.full((1, 8, 8, 1), -50.0).at[0, 2, 3, 0].set(50.0)
+    pooled = keypoint_attention(feat, hm)
+    np.testing.assert_allclose(np.asarray(pooled)[0, 0],
+                               [1.0, 2.0, 3.0, 4.0], atol=1e-4)
