@@ -143,10 +143,17 @@ class TestDataset:
         if self.hps_type == "pare":
             rotmat = out["pred_pose"]
             verts = out["smpl_vertices"]
+            cam = out["pred_cam"]
+        elif self.hps_type == "hybrik":
+            rotmat = out["pred_theta_mats"]
+            verts = out["pred_vertices"]
+            # reference doubles hybrik's scale (TestDataset.py:262)
+            cam = np.asarray(out["pred_camera"]) * np.array([2.0, 1.0, 1.0])
         else:                                    # pymaf
             rotmat = out["rotmat"]
             verts = out["verts"]
-        scale, tranX, tranY = [float(v) for v in out["pred_cam"][0, :3]]
+            cam = out["pred_cam"]
+        scale, tranX, tranY = [float(v) for v in np.asarray(cam)[0, :3]]
         item["betas"] = np.asarray(out["pred_shape"])
         item["body_pose"] = np.asarray(rotmat[:, 1:])
         item["global_orient"] = np.asarray(rotmat[:, 0:1])
@@ -205,6 +212,32 @@ class PAREWrapper:
         return self._fwd(self.variables, img)
 
 
+class HybrIKWrapper:
+    """Callable HPS: [B,256,256,3] -> HybrIK output dict."""
+
+    def __init__(self, ckpt: str = ""):
+        import jax
+        import jax.numpy as jnp
+        from icon_tpu.models.hybrik import build_hybrik
+        self.net, self.body = build_hybrik()
+        self.faces = self.body.faces
+        dummy = jnp.zeros((1, 256, 256, 3))
+        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
+                                       train=False)
+        if not (ckpt and osp.exists(ckpt)):
+            print("[hps] no HybrIK checkpoint found — RANDOM weights")
+        self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
+
+    def __call__(self, img):
+        import jax
+        import jax.numpy as jnp
+        # hybrik consumes 256^2 inputs (reference hybrik config)
+        if img.shape[1] != 256:
+            img = jax.image.resize(
+                img, (img.shape[0], 256, 256, img.shape[-1]), "bilinear")
+        return self._fwd(self.variables, jnp.asarray(img))
+
+
 def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
     """HPS registry (reference TestDataset.py:90-126). PyMAF is the default;
     PIXIE / HybrIK / BEV register here as their ports land."""
@@ -219,5 +252,8 @@ def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
             ckpt = osp.join(data_root(), "HPS", "pare_data",
                             "pare_checkpoint.ckpt")
         return PAREWrapper(ckpt)
+    if hps_type == "hybrik":
+        return HybrIKWrapper(ckpt)
     raise NotImplementedError(
-        f"hps_type {hps_type!r} not ported yet (available: pymaf, pare)")
+        f"hps_type {hps_type!r} not ported yet "
+        "(available: pymaf, pare, hybrik)")

@@ -140,9 +140,11 @@ class PyMAF(nn.Module):
         xv, yv = np.meshgrid(g, g, indexing="ij")
         self._points_grid = np.stack([xv.reshape(-1), yv.reshape(-1)],
                                      axis=-1)        # [gs*gs, 2] (x from xv)
+        # torch ConvTranspose2d(k=4, s=2, p=1) parity: flax padding (2,2)
+        # per dim doubles the spatial size exactly (verified numerically)
         self._tconvs = [nn.ConvTranspose(
             self.deconv_filters[i], (4, 4), strides=(2, 2),
-            padding=((1, 1), (1, 1)), use_bias=False, transpose_kernel=True,
+            padding=((2, 2), (2, 2)), use_bias=False, transpose_kernel=True,
             name=f"deconv{i}_tconv") for i in range(self.n_iter)]
         self._tbns = [nn.BatchNorm(momentum=0.9, name=f"deconv{i}_bn")
                       for i in range(self.n_iter)]

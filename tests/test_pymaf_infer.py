@@ -152,3 +152,42 @@ def test_keypoint_attention_pools_peak():
     pooled = keypoint_attention(feat, hm)
     np.testing.assert_allclose(np.asarray(pooled)[0, 0],
                                [1.0, 2.0, 3.0, 4.0], atol=1e-4)
+
+
+def test_hybrik_ik_recovers_joint_positions():
+    """Forward-kinematics a random pose, run the analytical IK on the joint
+    positions, forward again: positions must match (swing exact; twist is
+    the free parameter phi fixes)."""
+    from icon_tpu.models.pymaf.net import _synthetic_smpl24
+    from icon_tpu.models.smplx.lbs import (batch_rodrigues,
+                                           batch_rigid_transform)
+    from icon_tpu.models.hybrik.ik import hybrik_ik
+    body = _synthetic_smpl24()
+    J = len(body.parents)
+    rng = np.random.RandomState(0)
+    aa = (rng.randn(1, J, 3) * 0.3).astype(np.float32)
+    R_true = batch_rodrigues(jnp.asarray(aa.reshape(-1, 3))).reshape(
+        1, J, 3, 3)
+    rest = jnp.einsum("jv,vc->jc", body.J_regressor, body.v_template)[None]
+    posed, _ = batch_rigid_transform(R_true, rest, body.parents)
+    phis = jnp.tile(jnp.array([1.0, 0.0]), (1, J - 1, 1))
+    R_rec = hybrik_ik(posed - posed[:, :1], phis, rest, body.parents)
+    posed2, _ = batch_rigid_transform(R_rec, rest, body.parents)
+    err = np.abs(np.asarray(posed2 - posed2[:, :1]) -
+                 np.asarray(posed - posed[:, :1])).max()
+    assert err < 1e-4, err
+
+
+def test_hybrik_forward_shapes():
+    from icon_tpu.models.hybrik import build_hybrik
+    net, body = build_hybrik(backbone_width=8, backbone_layers=(1, 1, 1, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 256, 256, 3),
+                    jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(v, x, train=False)
+    assert out["pred_theta_mats"].shape == (1, 24, 3, 3)
+    assert out["pred_vertices"].shape[0] == 1
+    R = np.asarray(out["pred_theta_mats"]).reshape(-1, 3, 3)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)),
+                               atol=1e-3)
