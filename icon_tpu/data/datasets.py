@@ -212,14 +212,15 @@ class PIFuDataset:
             if osp.exists(path):
                 item[name] = _imagepath2tensor(path, ch)
 
-        verts, faces = self._load_mesh(p["mesh"], subject)
+        verts, faces, hoppe = self._load_mesh_cached(p["mesh"], subject)
         seed = (stable_hash(f"{subject}_{rotation}")
                 ^ (self.epoch * 0x9E3779B9)) % (2 ** 31)
         samples, labels = sample_points_with_labels(
             verts, faces, item["calib"],
             num_sample_geo=self.opt.num_sample_geo,
             sigma_geo=self.opt.sigma_geo / 100.0,
-            seed=seed, use_sdf=self.use_sdf, sdf_clip=self.sdf_clip / 100.0)
+            seed=seed, use_sdf=self.use_sdf, sdf_clip=self.sdf_clip / 100.0,
+            hoppe=hoppe)
         item["sample"] = samples
         item["label"] = labels[:, None]
 
@@ -240,6 +241,16 @@ class PIFuDataset:
         verts, faces = load_obj(path)
         verts = verts * self.scales.get(d, 1.0)
         return verts, faces
+
+    def _load_mesh_cached(self, path: str, subject: str):
+        """Scan mesh + its Hoppe SDF are per-subject invariants; caching
+        them keeps the per-item cost at sampling + SMPL features (the scan
+        cKDTree build costs ~0.5 s at real THuman sizes)."""
+        key = f"mesh_{subject}"
+        if key not in self._smpl_cache:
+            verts, faces = self._load_mesh(path, subject)
+            self._smpl_cache[key] = (verts, faces, HoppeSDF(verts, faces))
+        return self._smpl_cache[key]
 
     # -- SMPL prior features ------------------------------------------------
 
@@ -391,7 +402,8 @@ def sample_points_with_labels(verts: np.ndarray, faces: np.ndarray,
                               calib: np.ndarray, num_sample_geo: int,
                               sigma_geo: float, seed: int = 0,
                               use_sdf: bool = False,
-                              sdf_clip: float = 0.05):
+                              sdf_clip: float = 0.05,
+                              hoppe: Optional[HoppeSDF] = None):
     """get_sampling_geo on host (PIFuDataset.py:483-607).
 
     Surface samples are area-weighted over faces with barycentric jitter
@@ -413,7 +425,8 @@ def sample_points_with_labels(verts: np.ndarray, faces: np.ndarray,
     t = tri[fids]
     samples_surface = (w0 * t[:, 0] + w1 * t[:, 1] + w2 * t[:, 2]).astype(
         np.float32)
-    vn = vertex_normals_np(verts, faces)
+    vn = hoppe.vert_normals if hoppe is not None \
+        else vertex_normals_np(verts, faces)
     n_interp = (w0 * vn[faces[fids, 0]] + w1 * vn[faces[fids, 1]] +
                 w2 * vn[faces[fids, 2]])
     n_interp /= np.maximum(np.linalg.norm(n_interp, axis=1, keepdims=True),
@@ -430,7 +443,8 @@ def sample_points_with_labels(verts: np.ndarray, faces: np.ndarray,
         np.float32)
     rng.shuffle(samples)
 
-    hoppe = HoppeSDF(verts, faces)
+    if hoppe is None:
+        hoppe = HoppeSDF(verts, faces)
     sdf = hoppe.query(samples)
 
     if use_sdf:

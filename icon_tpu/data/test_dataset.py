@@ -149,12 +149,23 @@ class TestDataset:
             verts = out["pred_vertices"]
             # reference doubles hybrik's scale (TestDataset.py:262)
             cam = np.asarray(out["pred_camera"]) * np.array([2.0, 1.0, 1.0])
+        elif self.hps_type == "pixie":
+            # SMPL-X params (TestDataset.py:248-254): keep the face/hand
+            # params the pixie-specific refinement consumes
+            for k in ("exp", "jaw_pose", "left_hand_pose",
+                      "right_hand_pose"):
+                item[k] = np.asarray(out[k])
+            rotmat = np.concatenate([np.asarray(out["global_pose"]),
+                                     np.asarray(out["body_pose"])], axis=1)
+            verts = out["vertices"]
+            cam = out["cam"]
         else:                                    # pymaf
             rotmat = out["rotmat"]
             verts = out["verts"]
             cam = out["pred_cam"]
         scale, tranX, tranY = [float(v) for v in np.asarray(cam)[0, :3]]
-        item["betas"] = np.asarray(out["pred_shape"])
+        item["betas"] = np.asarray(
+            out["shape"] if self.hps_type == "pixie" else out["pred_shape"])
         item["body_pose"] = np.asarray(rotmat[:, 1:])
         item["global_orient"] = np.asarray(rotmat[:, 0:1])
         item["smpl_verts"] = np.asarray(verts)
@@ -212,6 +223,26 @@ class PAREWrapper:
         return self._fwd(self.variables, img)
 
 
+class PIXIEWrapper:
+    """Callable HPS: [B,224,224,3] -> PIXIE SMPL-X output dict."""
+
+    def __init__(self, ckpt: str = ""):
+        import jax
+        import jax.numpy as jnp
+        from icon_tpu.models.pixie import build_pixie
+        self.net, self.body = build_pixie()
+        self.faces = self.body.faces
+        dummy = jnp.zeros((1, 224, 224, 3))
+        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
+                                       train=False)
+        if not (ckpt and osp.exists(ckpt)):
+            print("[hps] no PIXIE checkpoint found — RANDOM weights")
+        self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
+
+    def __call__(self, img):
+        return self._fwd(self.variables, img)
+
+
 class HybrIKWrapper:
     """Callable HPS: [B,256,256,3] -> HybrIK output dict."""
 
@@ -254,6 +285,13 @@ def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
         return PAREWrapper(ckpt)
     if hps_type == "hybrik":
         return HybrIKWrapper(ckpt)
+    if hps_type == "pixie":
+        return PIXIEWrapper(ckpt)
+    if hps_type == "bev":
+        raise NotImplementedError(
+            "bev wraps the external `simple-romp` pip package in the "
+            "reference too (TestDataset.py:111-125); install it and adapt "
+            "through this registry")
     raise NotImplementedError(
-        f"hps_type {hps_type!r} not ported yet "
-        "(available: pymaf, pare, hybrik)")
+        f"hps_type {hps_type!r} unknown "
+        "(available: pymaf, pare, hybrik, pixie)")

@@ -114,6 +114,21 @@ def get_smpl_model(model_type: str = "smplx", gender: str = "male",
     return synthetic_smplx_model(subdiv=4)
 
 
+_FIT_FWD_CACHE: Dict[int, Any] = {}
+
+
+def _jitted_forward(model):
+    """Per-model jitted forward: dataloader workers call this once per item;
+    untraced jnp would re-trace the whole LBS every call (~1-2 s on CPU)."""
+    import jax
+    key = id(model)
+    if key not in _FIT_FWD_CACHE:
+        # close over the model (its static faces array is pytree metadata
+        # and cannot cross the jit boundary as an argument)
+        _FIT_FWD_CACHE[key] = jax.jit(lambda kw: model.forward(**kw))
+    return _FIT_FWD_CACHE[key]
+
+
 def load_fit_body(fitted_path: str, scale: float,
                   smpl_type: str = "smplx", smpl_gender: str = "male",
                   noise_dict: Optional[Dict[str, np.ndarray]] = None,
@@ -142,7 +157,7 @@ def load_fit_body(fitted_path: str, scale: float,
     kwargs = {k: jnp.asarray(np.asarray(v, np.float32)).reshape(1, -1)
               for k, v in kwargs.items() if v is not None}
 
-    verts, joints = model.forward(**kwargs)
+    verts, joints = _jitted_forward(model)(kwargs)
     fit_scale = float(np.asarray(param.get("scale", 1.0)).reshape(()))
     transl = np.asarray(param.get("translation", np.zeros(3)),
                         np.float32).reshape(3)

@@ -191,3 +191,33 @@ def test_hybrik_forward_shapes():
     eye = np.einsum("nij,nkj->nik", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)),
                                atol=1e-3)
+
+
+def test_pixie_forward_and_moderator():
+    from icon_tpu.models.pixie import build_pixie
+    net, body = build_pixie(backbone_width=8, backbone_layers=(1, 1, 1, 1))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 224, 224, 3),
+                    jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(v, x, train=False)
+    assert out["body_pose"].shape == (1, 21, 3, 3)
+    assert out["global_pose"].shape == (1, 1, 3, 3)
+    assert out["jaw_pose"].shape == (1, 1, 3, 3)
+    assert out["shape"].shape == (1, 10)
+    assert out["left_hand_pose"].shape == (1, 12)
+    assert out["vertices"].shape[0] == 1
+    R = np.asarray(out["body_pose"]).reshape(-1, 3, 3)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(R), 1, 1)),
+                               atol=1e-4)
+
+
+def test_moderator_weights_sum_to_one():
+    from icon_tpu.models.pixie.net import TempSoftmaxFusion
+    mod = TempSoftmaxFusion()
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 16), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).rand(3, 16), jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x, y)
+    fused, w = mod.apply(v, x, y)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-6)
+    assert fused.shape == x.shape
