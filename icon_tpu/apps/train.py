@@ -141,6 +141,10 @@ def main():
                     jnp.asarray(batch[k]), NamedSharding(mesh, P()))
         return sharded
 
+    # image panels every freq_show_train fraction of an epoch (reference
+    # render_func posting to TensorBoard, apps/ICON.py:694-727)
+    show_every = max(int(cfg.freq_show_train * steps_per_epoch), 1)
+
     t0 = time.time()
     step = int(state.step)
     start_epoch = step // max(steps_per_epoch, 1)
@@ -154,6 +158,13 @@ def main():
                 m["it_per_s"] = step / (time.time() - t0)
                 logger.log(step, m)
                 print(f"epoch {epoch} step {step}: {m}", flush=True)
+            if step % show_every == 0:
+                panels = {k: batch[k][0] for k in
+                          ("image", "normal_F", "normal_B",
+                           "T_normal_F", "T_normal_B")
+                          if k in batch and isinstance(batch[k], np.ndarray)}
+                if panels:
+                    logger.log_images(step, panels)
             if args.max_steps and step >= args.max_steps:
                 break
         # validation epoch -> top-k checkpointing on val loss

@@ -52,7 +52,11 @@ class NetConfig:
     mlp_dim: Tuple[int, ...] = (320, 1024, 512, 256, 128, 1)
     res_layers: Tuple[int, ...] = (2, 3, 4)
     smpl_dim: int = 3
-    prior_type: str = "icon"      # icon | pamir | pifu
+    # icon | pamir | pifu; the reference's literal default is the legacy
+    # 'sdf' (lib/common/config.py:105) which its code treats as the
+    # pifu-style else-branch — kept for default-table parity; every shipped
+    # YAML overrides it
+    prior_type: str = "sdf"
     smpl_feats: Tuple[str, ...] = ("sdf", "cmap", "norm", "vis")
     use_filter: bool = True
     in_geo: Tuple[Tuple[str, int], ...] = ()
