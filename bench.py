@@ -100,14 +100,14 @@ def main():
         body = jax.nn.sigmoid((1.0 - rad) * 30.0)
         return preds * 1e-6 + body
 
-    march_jit = jax.jit(lambda occ: marching_tetrahedra_indexed(
+    march_jit = jax.jit(lambda occ, coarse: marching_tetrahedra_indexed(
         occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,
-        max_verts=1 << 19))
+        max_verts=1 << 19, coarse_occ=coarse))
 
     def frame():
         feats = filter_jit(variables, in_t)
         occ, stats = eng(query_fn, jit_levels=True)
-        mesh = march_jit(occ)
+        mesh = march_jit(occ, stats["coarse_occ"])
         verts, faces = fetch_mesh(mesh)   # minimal host transfer
         return stats, mesh, verts, faces
 

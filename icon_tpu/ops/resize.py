@@ -18,7 +18,12 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# interpolation weights are exact convex combinations; on TPU the default
+# bf16 matmul precision breaks that (and torch parity) — force fp32
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
@@ -66,8 +71,9 @@ def resize_align_corners(x: jnp.ndarray, out_hw, mode: str = "linear"):
     Ho, Wo = out_hw
     Wr = jnp.asarray(_resize_matrix(H, Ho, mode))
     Wc = jnp.asarray(_resize_matrix(W, Wo, mode))
-    x = jnp.einsum("oh,bhwc->bowc", Wr, x.astype(jnp.float32))
-    x = jnp.einsum("ow,bhwc->bhoc", Wc, x)
+    x = jnp.einsum("oh,bhwc->bowc", Wr, x.astype(jnp.float32),
+                   precision=_PREC)
+    x = jnp.einsum("ow,bhwc->bhoc", Wc, x, precision=_PREC)
     return x
 
 
@@ -85,7 +91,8 @@ def resize3d_trilinear_align_corners(x: jnp.ndarray, out_dhw) -> jnp.ndarray:
     Wd = jnp.asarray(_resize_matrix(D, Do, "linear"))
     Wh = jnp.asarray(_resize_matrix(H, Ho, "linear"))
     Ww = jnp.asarray(_resize_matrix(W, Wo, "linear"))
-    x = jnp.einsum("od,bdhwc->bohwc", Wd, x.astype(jnp.float32))
-    x = jnp.einsum("oh,bdhwc->bdowc", Wh, x)
-    x = jnp.einsum("ow,bdhwc->bdhoc", Ww, x)
+    x = jnp.einsum("od,bdhwc->bohwc", Wd, x.astype(jnp.float32),
+                   precision=_PREC)
+    x = jnp.einsum("oh,bdhwc->bdowc", Wh, x, precision=_PREC)
+    x = jnp.einsum("ow,bdhwc->bdhoc", Ww, x, precision=_PREC)
     return x

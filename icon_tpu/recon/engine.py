@@ -247,6 +247,10 @@ class ReconEngine:
         for lv in range(1, n_levels):
             is_last = lv == n_levels - 1
             if is_last and self.faster:
+                # expose the pre-upsample grid: marching can derive its
+                # active cells from the coarse mixed cells (trilinear
+                # upsampling cannot create crossings outside them)
+                stats["coarse_occ"] = occ
                 occ = wrap(("up", lv),
                            lambda o, r=res[lv]: self._upsample(o, r))(occ)
                 break

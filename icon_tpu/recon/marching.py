@@ -30,7 +30,7 @@ from outside (occ < iso side).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -129,26 +129,62 @@ class MarchOut(NamedTuple):
 def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
                                 max_cells: int = 1 << 18,
                                 max_tris: int = 1 << 20,
-                                max_verts: int = 1 << 19) -> MarchOut:
+                                max_verts: int = 1 << 19,
+                                coarse_occ: Optional[jnp.ndarray] = None
+                                ) -> MarchOut:
     """Extract an indexed mesh from ``occ [D, H, W]`` ([z, y, x] layout),
-    fully on device. See module docstring for the pipeline."""
+    fully on device. See module docstring for the pipeline.
+
+    ``coarse_occ``: when ``occ`` is the 2x trilinear align_corners upsample
+    of this grid sliced by one (the recon engine's faster-mode final level,
+    engine.py), active fine cells can only lie inside MIXED coarse cells —
+    trilinear interpolation is a convex combination, so a one-sided coarse
+    cell stays one-sided. Candidates then come from the (8x smaller) coarse
+    mixed mask, skipping the full-grid active scan + compaction."""
     D, H, W = occ.shape
     dt = occ.dtype
     inside = occ > iso
+    cw, ch = W - 1, H - 1
 
     # ---- 1. active cells --------------------------------------------------
-    def corner(arr, c):
+    def corner(arr, c, d_, h_, w_):
         dx, dy, dz = _CORNER_OFF[c]
-        return arr[dz:dz + D - 1, dy:dy + H - 1, dx:dx + W - 1]
+        return arr[dz:dz + d_ - 1, dy:dy + h_ - 1, dx:dx + w_ - 1]
 
-    cnt = sum(corner(inside, c).astype(jnp.int8) for c in range(8))
-    active = (cnt > 0) & (cnt < 8)
-    cell_idx, n_cells = _compact_indices(active.reshape(-1), max_cells)
-
-    cw, ch = W - 1, H - 1
-    cz = cell_idx // (ch * cw)
-    cy = (cell_idx // cw) % ch
-    cx = cell_idx % cw
+    if coarse_occ is None:
+        cnt = sum(corner(inside, c, D, H, W).astype(jnp.int8)
+                  for c in range(8))
+        active = (cnt > 0) & (cnt < 8)
+        cell_idx, n_cells = _compact_indices(active.reshape(-1), max_cells)
+        alive_cells = jnp.arange(max_cells) < n_cells
+        cz = cell_idx // (ch * cw)
+        cy = (cell_idx // cw) % ch
+        cx = cell_idx % cw
+    else:
+        Dc, Hc, Wc = coarse_occ.shape
+        in_c = coarse_occ > iso
+        cntc = sum(corner(in_c, c, Dc, Hc, Wc).astype(jnp.int8)
+                   for c in range(8))
+        mixed = (cntc > 0) & (cntc < 8)
+        nc_budget = max_cells // 8
+        idxc, n_c = _compact_indices(mixed.reshape(-1), nc_budget)
+        ccz = idxc // ((Hc - 1) * (Wc - 1))
+        ccy = (idxc // (Wc - 1)) % (Hc - 1)
+        ccx = idxc % (Wc - 1)
+        # coarse cell c covers fine (sliced-by-one) cells {2c-1, 2c}/axis
+        offs = jnp.asarray(_CORNER_OFF)                     # [8, 3] (x,y,z)
+        fx = 2 * ccx[:, None] - 1 + offs[None, :, 0]
+        fy = 2 * ccy[:, None] - 1 + offs[None, :, 1]
+        fz = 2 * ccz[:, None] - 1 + offs[None, :, 2]
+        valid = ((fx >= 0) & (fx < cw) & (fy >= 0) & (fy < ch) &
+                 (fz >= 0) & (fz < D - 1) &
+                 (jnp.arange(nc_budget)[:, None] < n_c))
+        cx = jnp.clip(fx, 0, cw - 1).reshape(-1)
+        cy = jnp.clip(fy, 0, ch - 1).reshape(-1)
+        cz = jnp.clip(fz, 0, D - 2).reshape(-1)
+        cell_idx = (cz * ch + cy) * cw + cx
+        alive_cells = valid.reshape(-1)
+        n_cells = jnp.sum(alive_cells.astype(jnp.int32))
 
     occ_flat = occ.reshape(-1)
     lin = ((cz[:, None] + _CORNER_OFF[:, 2][None]) * H +
@@ -212,8 +248,8 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     valid_tbl = jnp.asarray(_TRI_VALID)                 # [6, 16, 2]
     slot_valid = jnp.einsum("nte,tek->ntk", onehot,
                             valid_tbl.astype(dt)) > 0.5  # [NC, 6, 2]
-    alive = (jnp.arange(max_cells) < n_cells)[:, None, None]
-    slot_valid = (slot_valid & alive).reshape(-1)        # [NC*12]
+    slot_valid = (slot_valid &
+                  alive_cells[:, None, None]).reshape(-1)  # [NC*12]
 
     tri_idx, n_tris = _compact_indices(slot_valid, max_tris)
     tri_alive = jnp.arange(max_tris) < n_tris
@@ -279,15 +315,23 @@ def marching_tetrahedra(occ: jnp.ndarray, iso: float = 0.5,
 
 def fetch_mesh(out: MarchOut) -> Tuple[np.ndarray, np.ndarray]:
     """Minimal-transfer host fetch: slices the compact buffers to their true
-    sizes before moving them over the (slow) host link."""
+    sizes and moves ONE packed buffer over the (slow) host link — each
+    separate np.asarray costs a ~30 ms round trip on the tunneled device.
+    Face indices bitcast to float32 losslessly."""
     nv = int(out.n_verts)
     nt = int(out.n_tris)
-    vx = np.asarray(jax.lax.slice(out.verts_x, (0,), (max(nv, 1),)))
-    vy = np.asarray(jax.lax.slice(out.verts_y, (0,), (max(nv, 1),)))
-    vz = np.asarray(jax.lax.slice(out.verts_z, (0,), (max(nv, 1),)))
-    faces = np.asarray(jax.lax.slice(out.faces, (0, 0), (max(nt, 1), 3)))
     if nv == 0 or nt == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    packed = jnp.concatenate([
+        jax.lax.slice(out.verts_x, (0,), (nv,)),
+        jax.lax.slice(out.verts_y, (0,), (nv,)),
+        jax.lax.slice(out.verts_z, (0,), (nv,)),
+        jax.lax.bitcast_convert_type(
+            jax.lax.slice(out.faces, (0, 0), (nt, 3)).reshape(-1),
+            jnp.float32)])
+    host = np.asarray(packed)
+    vx, vy, vz = host[:nv], host[nv:2 * nv], host[2 * nv:3 * nv]
+    faces = host[3 * nv:].view(np.int32).reshape(-1, 3)
     verts = np.stack([vx, vy, vz], axis=-1)
     # drop degenerate faces (dedup can merge a triangle's vertices when the
     # iso value sits exactly on a lattice vertex)

@@ -81,3 +81,39 @@ def test_empty_grid():
                                                   max_cells=256,
                                                   max_tris=512)
     assert int(n_tris) == 0 and not bool(tm.any())
+
+
+def test_coarse_candidate_marching_matches_full():
+    """Active cells derived from the coarse mixed mask must reproduce the
+    full-scan marching exactly on an upsampled field (trilinear interp
+    cannot cross iso outside mixed coarse cells)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from icon_tpu.ops.resize import resize3d_trilinear_align_corners
+    from icon_tpu.recon.marching import (fetch_mesh,
+                                         marching_tetrahedra_indexed)
+
+    g = np.linspace(-1, 1, 65)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    coarse = jnp.asarray(1 / (1 + np.exp(-(0.6 - np.sqrt(
+        (xx / 0.5) ** 2 + yy ** 2 + (zz / 0.4) ** 2)) * 10)).astype(
+        np.float32))
+    fine = resize3d_trilinear_align_corners(
+        coarse[None, ..., None], (129, 129, 129))[0, ..., 0]
+    occ = fine[1:, 1:, 1:]
+
+    full = marching_tetrahedra_indexed(occ, 0.5, max_cells=1 << 16,
+                                       max_tris=1 << 18, max_verts=1 << 17)
+    fast = marching_tetrahedra_indexed(occ, 0.5, max_cells=1 << 16,
+                                       max_tris=1 << 18, max_verts=1 << 17,
+                                       coarse_occ=coarse)
+    assert int(full.n_tris) == int(fast.n_tris)
+    v1, f1 = fetch_mesh(full)
+    v2, f2 = fetch_mesh(fast)
+    assert len(v1) == len(v2)
+    # same vertex set (order may differ): compare sorted
+    s1 = np.sort(v1.view([("x", np.float32), ("y", np.float32),
+                          ("z", np.float32)]).reshape(-1))
+    s2 = np.sort(v2.view([("x", np.float32), ("y", np.float32),
+                          ("z", np.float32)]).reshape(-1))
+    assert (s1 == s2).all()
