@@ -62,7 +62,9 @@ def main():
     variables = net.init(jax.random.PRNGKey(0), batch, train=False)
 
     resolutions = reconstruction_resolutions(args.res)
-    eng = ReconEngine(resolutions, faster=True)
+    # auto_budget: steady-state serving — per-level buffers sized from the
+    # previous frame's measured boundary counts (overflow-guarded)
+    eng = ReconEngine(resolutions, faster=True, auto_budget=True)
     total_points = float(resolutions[0] ** 3 +
                          sum(eng.budgets[:max(len(resolutions) - 2, 0)]))
 
@@ -111,7 +113,9 @@ def main():
         verts, faces = fetch_mesh(mesh)   # minimal host transfer
         return stats, mesh, verts, faces
 
-    # warmup/compile (per-level executables cached on the engine)
+    # warmup/compile (per-level executables cached on the engine); twice so
+    # the auto-budget buckets settle and their executables compile
+    frame()
     frame()
 
     times = []
@@ -120,6 +124,15 @@ def main():
         stats, mesh, verts, faces = frame()
         n_tris = mesh.n_tris
         times.append(time.perf_counter() - t0)
+
+    # engine-only fps (the metric the reference's 6.56 fps measures:
+    # occupancy evaluation without meshing/transfer)
+    eng_times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        occ, _ = eng(query_fn, jit_levels=True)
+        np.asarray(jnp.sum(occ[0, 0]).reshape(1))     # sync
+        eng_times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))
     fps = 1.0 / dt
@@ -134,6 +147,7 @@ def main():
     print(json.dumps({
         "sec_per_image": round(dt, 4),
         "mpoints_per_sec": round(total_points / dt / 1e6, 3),
+        "engine_only_fps": round(1.0 / float(np.median(eng_times)), 3),
         "n_tris": int(n_tris),
         "platform": jax.devices()[0].platform,
         "times": [round(t, 4) for t in times],

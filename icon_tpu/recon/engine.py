@@ -96,7 +96,9 @@ class ReconEngine:
                  faster: bool = True,
                  exact: bool = False,
                  conflict_rounds: int = 2,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1,
+                 auto_budget: bool = False,
+                 auto_headroom: float = 1.5):
         """``exact`` adds the reference's conflict-resolution refinement
         (seg3d_lossless.py:267-471): evaluated points whose value flips the
         interpolated occupancy's side re-examine their unevaluated 3^3
@@ -117,7 +119,33 @@ class ReconEngine:
         self.faster = faster and not exact
         self.exact = exact
         self.conflict_rounds = conflict_rounds
+        # auto_budget: steady-state budget autotuning — each frame sizes its
+        # per-level point buffers from the PREVIOUS frame's measured
+        # boundary counts x headroom, snapped to a geometric bucket ladder
+        # (one executable per bucket, compile-cached). First frame and any
+        # frame after an overflow use the configured (safe) budgets, so a
+        # scene change degrades at most one frame before re-upsizing.
+        self.auto_budget = auto_budget
+        self.auto_headroom = auto_headroom
+        self._last_counts: Dict[int, jnp.ndarray] = {}
         self._jit_cache: Dict = {}
+
+    def _bucket(self, lv: int) -> int:
+        """Current budget bucket for level lv (1-based)."""
+        cap = self.budgets[lv - 1]
+        if not self.auto_budget or lv not in self._last_counts:
+            return cap
+        try:
+            need = int(self._last_counts[lv])
+        except Exception:
+            return cap
+        if need <= 0 or need > cap:       # overflow last frame -> reset
+            return cap
+        want = int(need * self.auto_headroom)
+        b = max(self.pad_multiple, 4096)
+        while b < want:
+            b *= 2
+        return min(b, cap)
 
     # ------------------------------------------------------------------
     # Level bodies. Each is pure so the caller (or __call__ in jit_levels
@@ -144,7 +172,7 @@ class ReconEngine:
         return resize3d_trilinear_align_corners(
             occ[None, ..., None], (r, r, r))[0, ..., 0]
 
-    def _level_step(self, lv, occ, evaluated, query_fn):
+    def _level_step(self, lv, occ, evaluated, query_fn, budget=None):
         r = self.resolutions[lv]
         occ_up = self._upsample(occ, r)
         valid = resize3d_trilinear_align_corners(
@@ -162,7 +190,7 @@ class ReconEngine:
         ev = jnp.zeros((r, r, r), bool).at[::2, ::2, ::2].set(evaluated)
         boundary = boundary & ~ev
 
-        budget = self.budgets[lv - 1]
+        budget = budget or self.budgets[lv - 1]
         idx, n_sel, n_total = _compact(boundary.reshape(-1), budget)
 
         def eval_at(idx, alive):
@@ -254,12 +282,15 @@ class ReconEngine:
                 occ = wrap(("up", lv),
                            lambda o, r=res[lv]: self._upsample(o, r))(occ)
                 break
-            step = wrap(("step", lv), lambda o, e, lv=lv: self._level_step(
-                lv, o, e, query_fn))
+            budget = self._bucket(lv)
+            step = wrap(("step", lv, budget),
+                        lambda o, e, lv=lv, b=budget: self._level_step(
+                            lv, o, e, query_fn, budget=b))
             occ, evaluated, n_total, n_conf = step(occ, evaluated)
+            if self.auto_budget:
+                self._last_counts[lv] = n_total   # read lazily next frame
             stats[f"level{lv}_points"] = n_total
-            stats[f"level{lv}_overflow"] = jnp.maximum(
-                n_total - self.budgets[lv - 1], 0)
+            stats[f"level{lv}_overflow"] = jnp.maximum(n_total - budget, 0)
             if self.exact:
                 stats[f"level{lv}_conflicts"] = n_conf
         return occ, stats

@@ -90,3 +90,33 @@ def test_exact_mode_resolves_conflicts():
     assert err_e <= err_f
     assert err_e <= 8, err_e            # near-lossless vs dense
     assert "level1_conflicts" in stats
+
+
+def test_auto_budget_shrinks_and_recovers():
+    """Auto-budget sizes buffers from the previous frame's counts and falls
+    back to the configured cap after an overflow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from icon_tpu.recon.engine import ReconEngine
+
+    axes = jnp.asarray(np.array([0.4, 0.6, 0.25], np.float32))
+
+    def q(pts):
+        rad = jnp.linalg.norm(pts / axes, axis=-1, keepdims=True)
+        return jax.nn.sigmoid((1.0 - rad) * 25.0)
+
+    eng = ReconEngine((33, 65, 129), auto_budget=True)
+    occ1, s1 = eng(q)
+    b_default = eng.budgets[0]
+    # second frame: bucket snaps to measured count x headroom
+    b2 = eng._bucket(1)
+    need = int(s1["level1_points"])
+    assert b2 < b_default
+    assert b2 >= need
+    occ2, s2 = eng(q)
+    # static scene: grids identical between bucket sizes
+    assert float(jnp.abs(occ1 - occ2).max()) < 1e-6
+    # overflow recovery: pretend last frame overflowed
+    eng._last_counts[1] = jnp.asarray(10 ** 9, jnp.int32)
+    assert eng._bucket(1) == b_default
