@@ -74,9 +74,11 @@ def main():
 
     # production buffer sizes: a clothed human at 257^3 yields ~150-600k
     # triangles; marching cost scales with these static buffers (sort +
-    # scatters), and n_tris/n_cells overflow counters police the headroom
-    max_cells = 1 << 18
-    max_tris = 1 << 19
+    # scatters), and n_tris/n_cells overflow counters police the headroom.
+    # Surface-bound quantities grow ~quadratically with resolution.
+    area_scale = max((args.res // 256) ** 2, 1)
+    max_cells = (1 << 18) * area_scale
+    max_tris = (1 << 19) * area_scale
 
     smpl_feat = {k: batch[k] for k in smpl_keys}
     smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(
@@ -104,7 +106,7 @@ def main():
 
     march_jit = jax.jit(lambda occ, coarse: marching_tetrahedra_indexed(
         occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,
-        max_verts=1 << 19, coarse_occ=coarse))
+        max_verts=(1 << 19) * area_scale, coarse_occ=coarse))
 
     def frame():
         feats = filter_jit(variables, in_t)
@@ -127,6 +129,8 @@ def main():
 
     # engine-only fps (the metric the reference's 6.56 fps measures:
     # occupancy evaluation without meshing/transfer)
+    occ, _ = eng(query_fn, jit_levels=True)      # warm
+    np.asarray(jnp.sum(occ[0, 0]).reshape(1))
     eng_times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
