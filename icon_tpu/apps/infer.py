@@ -48,6 +48,9 @@ def main():
                     help="working resolution for crops/renders/refinement")
     ap.add_argument("-export_video", action="store_true")
     ap.add_argument("-no_remesh", action="store_true")
+    ap.add_argument("-allow_random_hps", action="store_true",
+                    help="proceed with a random-init HPS (smoke tests only; "
+                    "the fits are meaningless)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +78,8 @@ def main():
 
     dataset = TestDataset(args.in_dir, hps_type=args.hps_type,
                           hps_ckpt=args.hps_ckpt, seg_dir=args.seg_dir,
-                          icon_size=args.img_size)
+                          icon_size=args.img_size,
+                          allow_random_hps=args.allow_random_hps)
     if len(dataset) == 0:
         raise SystemExit(f"no images in {args.in_dir}")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -125,8 +129,9 @@ def main():
                              method=net.predict_normals)
 
         # --- SMPL body fitting ---
+        fit_params = init
         if args.loop_smpl > 0 and cfg.net.prior_type != "pifu":
-            smpl_verts, (nmlF, nmlB), losses = refine_smpl_live(
+            smpl_verts, (nmlF, nmlB), losses, fit_params = refine_smpl_live(
                 body, body_faces, image, init, normal_fn, scale,
                 iters=args.loop_smpl, patience=args.patience,
                 size=args.img_size)
@@ -154,8 +159,13 @@ def main():
 
         # --- implicit reconstruction ---
         features = net.apply(variables, in_t, False, method=net.filter)
-        smpl_feat = _icon_feats(smpl_verts, body_faces, calib[0]) \
-            if cfg.net.prior_type == "icon" else None
+        if cfg.net.prior_type == "icon":
+            smpl_feat = _icon_feats(smpl_verts, body_faces, calib[0])
+        elif cfg.net.prior_type == "pamir":
+            smpl_feat = _pamir_feats(smpl_verts, body, fit_params, scale,
+                                     calib[0])
+        else:
+            smpl_feat = None
 
         def query_fn(pts):
             return net.apply(variables, features, pts, calib,
@@ -227,6 +237,9 @@ def _init_variables(net, image, body, body_faces, args):
         v0 = body.v_template
         init_batch.update(_icon_feats(v0, body_faces, jnp.eye(4)))
         init_batch["sample"] = jnp.zeros((1, 8, 3))
+    elif net.cfg.net.prior_type == "pamir":
+        init_batch["voxel_verts"] = jnp.zeros((1, 8000, 3))
+        init_batch["voxel_codes"] = jnp.zeros((8000, 3))
     variables = net.init(jax.random.PRNGKey(0), init_batch, train=False)
     import os.path as osp
     for ck, rename in ((args.ckpt, None),
@@ -254,10 +267,19 @@ def _icon_feats(smpl_verts, body_faces, calib):
     vis = vertex_visibility(v_cal, jnp.asarray(body_faces))
 
     reg = SMPLX()
-    if osp.exists(reg.cmap_vert_path) and \
-            len(reg.cmap) == smpl_verts.shape[0]:
-        cmap = jnp.asarray(reg.cmap)
-    else:
+    n = smpl_verts.shape[0]
+    cmap = None
+    if osp.exists(reg.cmap_vert_path):
+        if len(reg.cmap) == n:                       # SMPL-X body (pixie)
+            cmap = jnp.asarray(reg.cmap)
+        elif osp.exists(reg.smpl_verts_path) and \
+                osp.exists(reg.smplx_verts_path) and \
+                len(reg.smpl_verts) == n:            # SMPL body (pymaf/...)
+            # remap through the nearest-smplx-vertex correspondence so a
+            # trained ICON net sees in-distribution cmap features
+            # (reference apps/ICON.py:322-326 cmap_smpl_vids)
+            cmap = jnp.asarray(reg.cmap_smpl_vids("smpl"))
+    if cmap is None:
         vmin = v_cal.min(axis=0)
         vmax = v_cal.max(axis=0)
         cmap = (v_cal - vmin) / jnp.maximum(vmax - vmin, 1e-6)
@@ -270,6 +292,55 @@ def _icon_feats(smpl_verts, body_faces, calib):
         "smpl_vis": vis[None],
         "smpl_vf_table": jnp.asarray(vf),
     }
+
+
+def _pamir_feats(smpl_verts, body, fit_params, scale, calib):
+    """PaMIR voxel features for the demo (reference apps/infer.py:379-388 ->
+    TestDataset.compute_voxel_verts): TetraSMPL surface+interior vertices
+    posed with the optimized fit when the tedra assets are installed,
+    otherwise the fitted surface itself; padded to the training-time count,
+    projected to calib space and halved (PIFuDataset.py:466-481)."""
+    import os.path as osp
+    import jax.numpy as jnp
+    import numpy as np
+    from icon_tpu.models.smplx.assets import SMPLX
+    from icon_tpu.ops.projection import project
+
+    reg = SMPLX()
+    tetra_model = osp.join(reg.model_dir, "smpl", "SMPL_MALE.pkl")
+    tetra_add = osp.join(reg.tedra_dir, "tetra_male_adult_smpl.npz")
+    if osp.exists(tetra_model) and osp.exists(tetra_add):
+        from icon_tpu.models.smplx.tetra import load_tetra_body_model
+        model, _ = load_tetra_body_model(tetra_model, tetra_add)
+        bp = np.asarray(fit_params["body_pose"], np.float32)  # [1,J-1,3,3]
+        pose = np.broadcast_to(np.eye(3, dtype=np.float32),
+                               (1, 23, 3, 3)).copy()
+        nb = min(bp.shape[1], 23)     # SMPL-X HPS (pixie) has 21 body joints
+        pose[:, :nb] = bp[:, :nb]
+        go = np.asarray(fit_params["global_orient"],
+                        np.float32).reshape(1, 9)
+        betas = np.asarray(fit_params["betas"], np.float32)[:, :10]
+        verts, _ = model.forward(
+            betas=jnp.asarray(betas),
+            global_orient=jnp.asarray(go),
+            body_pose=jnp.asarray(pose.reshape(1, 23 * 9)),
+            pose2rot=False)
+        trans = np.asarray(fit_params["trans"], np.float32).reshape(1, 3)
+        verts = (np.asarray(verts[0]) + trans) * scale
+        t = np.asarray(model.v_template)
+        codes = (t - t.min(0)) / np.maximum(t.max(0) - t.min(0), 1e-6)
+    else:
+        verts = np.asarray(smpl_verts)
+        t = np.asarray(body.v_template)[:len(verts)]
+        codes = (t - t.min(0)) / np.maximum(t.max(0) - t.min(0), 1e-6)
+
+    n = 8000                          # fixed count, datasets.load_smpl_voxel
+    pad = max(n - len(verts), 0)
+    verts = np.pad(verts[:n], ((0, pad), (0, 0)))
+    codes = np.pad(codes[:n], ((0, pad), (0, 0)))
+    v_proj = project(jnp.asarray(verts)[None], jnp.asarray(calib)[None]) * 0.5
+    return {"voxel_verts": v_proj.astype(jnp.float32),
+            "voxel_codes": jnp.asarray(codes.astype(np.float32))}
 
 
 def _extract_garments(args, name, verts, faces, smpl_verts, smpl_faces):

@@ -79,6 +79,12 @@ def main():
             variables = dict(variables)
             variables["params"] = partial_warm_start(
                 variables["params"], loaded["params"])
+            # BatchNorm running stats must come from training, not init —
+            # otherwise `norm_mlp: batch` configs evaluate with init moments
+            # (reference restores the full state dict, train.py:166-176).
+            if loaded.get("batch_stats"):
+                variables["batch_stats"] = partial_warm_start(
+                    variables.get("batch_stats", {}), loaded["batch_stats"])
             print(f"[test] loaded {path}")
         run_evaluation(cfg, dataset, net, variables,
                        max_items=args.max_eval_items)
@@ -94,9 +100,12 @@ def main():
     val_dataset = PIFuDataset(cfg, split="val")
     if len(val_dataset) == 0:
         val_dataset = PIFuDataset(cfg, split="test")
+    # pad_last: a ragged final val batch would not divide the device mesh
+    # (shard_batch raises); wrap-around padding keeps every batch full
     val_loader = DataLoader(val_dataset, batch_size=cfg.batch_size,
                             num_workers=cfg.num_threads, shuffle=False,
-                            drop_last=False) if len(val_dataset) else None
+                            drop_last=False,
+                            pad_last=True) if len(val_dataset) else None
     steps_per_epoch = len(loader)
 
     mesh = make_mesh_for_batch(cfg.batch_size, cfg.num_devices or None)

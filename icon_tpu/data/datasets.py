@@ -502,13 +502,18 @@ class DataLoader:
     training step."""
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
-                 num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.drop_last = drop_last
+        # pad_last wraps a ragged final batch back to full batch_size so
+        # every batch divides the device mesh (needed by shard_batch's
+        # NamedSharding on multi-device validation runs)
+        self.pad_last = pad_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -530,6 +535,11 @@ class DataLoader:
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        elif self.pad_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            short = len(batches[-1])
+            fill = order[np.arange(self.batch_size - short) % len(order)]
+            batches[-1] = np.concatenate([batches[-1], fill])
 
         def collate(items):
             out = {}

@@ -89,13 +89,14 @@ class TestDataset:
 
     def __init__(self, image_dir: str, hps_type: str = "pymaf",
                  hps_ckpt: str = "", seg_dir: Optional[str] = None,
-                 icon_size: int = 512):
+                 icon_size: int = 512, allow_random_hps: bool = False):
         exts = ("*.png", "*.jpg", "*.jpeg", "*.webp")
         self.subject_list = sorted(sum(
             [glob.glob(osp.join(image_dir, e)) for e in exts], []))
         self.hps_type = hps_type
         self.seg_dir = seg_dir
         self.icon_size = icon_size
+        self.allow_random_hps = allow_random_hps
         self._hps = None
         self._hps_ckpt = hps_ckpt
         self._segmenter = None
@@ -106,7 +107,18 @@ class TestDataset:
     @property
     def hps(self):
         if self._hps is None:
-            self._hps = get_hps(self.hps_type, self._hps_ckpt)
+            hps = get_hps(self.hps_type, self._hps_ckpt)
+            # a random-init HPS exports meaningless bodies; the reference
+            # hard-fails without its data (fetch_data.sh) — match that,
+            # with an escape hatch for smoke tests
+            if getattr(hps, "random_init", False) and \
+                    not self.allow_random_hps:
+                raise RuntimeError(
+                    f"{self.hps_type} has no checkpoint installed — every "
+                    "fit would be random garbage. Install the weights under "
+                    "data/HPS/ (see README) or pass allow_random_hps=True "
+                    "(-allow_random_hps on the CLI) for smoke tests.")
+            self._hps = hps
         return self._hps
 
     @property
@@ -186,7 +198,8 @@ class PyMAFWrapper:
         dummy = jnp.zeros((1, 224, 224, 3))
         self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
                                        train=False)
-        if ckpt and osp.exists(ckpt):
+        self.random_init = not (ckpt and osp.exists(ckpt))
+        if not self.random_init:
             from icon_tpu.models.pymaf.convert import load_pymaf_checkpoint
             self.variables = load_pymaf_checkpoint(self.variables, ckpt)
         else:
@@ -210,11 +223,10 @@ class PAREWrapper:
         dummy = jnp.zeros((1, 224, 224, 3))
         self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
                                        train=False)
-        if ckpt and osp.exists(ckpt):
-            # PARE checkpoints name modules exactly like pare_head.py; a
-            # name-mapped port lands with the weights (none ship here)
-            print(f"[hps] PARE checkpoint at {ckpt} — name-mapped port "
-                  "required; running random-init until provided")
+        self.random_init = not (ckpt and osp.exists(ckpt))
+        if not self.random_init:
+            from icon_tpu.models.pare.convert import load_pare_checkpoint
+            self.variables = load_pare_checkpoint(self.variables, ckpt)
         else:
             print("[hps] no PARE checkpoint found — RANDOM weights")
         self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
@@ -235,7 +247,11 @@ class PIXIEWrapper:
         dummy = jnp.zeros((1, 224, 224, 3))
         self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
                                        train=False)
-        if not (ckpt and osp.exists(ckpt)):
+        self.random_init = not (ckpt and osp.exists(ckpt))
+        if not self.random_init:
+            from icon_tpu.models.pixie.convert import load_pixie_checkpoint
+            self.variables = load_pixie_checkpoint(self.variables, ckpt)
+        else:
             print("[hps] no PIXIE checkpoint found — RANDOM weights")
         self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
 
@@ -255,7 +271,11 @@ class HybrIKWrapper:
         dummy = jnp.zeros((1, 256, 256, 3))
         self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
                                        train=False)
-        if not (ckpt and osp.exists(ckpt)):
+        self.random_init = not (ckpt and osp.exists(ckpt))
+        if not self.random_init:
+            from icon_tpu.models.hybrik.convert import load_hybrik_checkpoint
+            self.variables = load_hybrik_checkpoint(self.variables, ckpt)
+        else:
             print("[hps] no HybrIK checkpoint found — RANDOM weights")
         self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
 
@@ -284,8 +304,14 @@ def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
                             "pare_checkpoint.ckpt")
         return PAREWrapper(ckpt)
     if hps_type == "hybrik":
+        if not ckpt:
+            ckpt = osp.join(data_root(), "HPS", "hybrik_data",
+                            "pretrained_w_cam.pth")
         return HybrIKWrapper(ckpt)
     if hps_type == "pixie":
+        if not ckpt:
+            ckpt = osp.join(data_root(), "HPS", "pixie_data",
+                            "pixie_model.tar")
         return PIXIEWrapper(ckpt)
     if hps_type == "bev":
         raise NotImplementedError(

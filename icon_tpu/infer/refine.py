@@ -137,7 +137,8 @@ def refine_smpl_live(body_model: BodyModel,
 
     ``init``: betas [1,10], body_pose [1,J-1,3,3], global_orient [1,1,3,3],
     trans [3]. Returns (refined verts [V,3] in render space, final predicted
-    (normal_F, normal_B), loss history).
+    (normal_F, normal_B), loss history, final params — the optimized
+    pose/betas feed PaMIR's voxelization, reference infer.py:379-388).
     """
     faces_j = jnp.asarray(faces)
     tx = optax.chain(
@@ -193,7 +194,7 @@ def refine_smpl_live(body_model: BodyModel,
         params, opt_state, loss, aux = step(params, opt_state)
         losses.append(float(loss))
     verts = forward_verts(params)
-    return np.asarray(verts), aux, losses
+    return np.asarray(verts), aux, losses, params
 
 
 def refine_cloth(verts: np.ndarray, faces: np.ndarray,

@@ -142,9 +142,14 @@ class ReconEngine:
         if need <= 0 or need > cap:       # overflow last frame -> reset
             return cap
         want = int(need * self.auto_headroom)
-        b = max(self.pad_multiple, 4096)
+        b = 4096
         while b < want:
             b *= 2
+        # buckets must stay multiples of pad_multiple (sharded queries split
+        # the point axis evenly); the ladder alone only guarantees powers
+        # of two, which a 3- or 6-device mesh does not divide
+        m = self.pad_multiple
+        b = -(-b // m) * m
         return min(b, cap)
 
     # ------------------------------------------------------------------

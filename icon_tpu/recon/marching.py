@@ -99,7 +99,9 @@ def _compact_indices(mask_flat: jnp.ndarray, budget: int):
     """Pack indices of true entries into a fixed-size buffer (first `budget`
     in linear order) via top_k over index keys — 2.2x faster than the
     cumsum+scatter formulation on v5e (TPU scatters serialize). Padded slots
-    clamp to the last element. Returns (idx [budget] int32, count int32)."""
+    clamp to the last element. Returns (idx [budget] int32, count int32
+    clamped to budget, total int32 unclamped — total > count means
+    overflow: true entries were dropped)."""
     n = mask_flat.shape[0]
     key = jnp.where(mask_flat, jnp.arange(n, dtype=jnp.int32),
                     jnp.int32(2 ** 31 - 1))
@@ -109,8 +111,8 @@ def _compact_indices(mask_flat: jnp.ndarray, budget: int):
     if k < budget:
         idx = jnp.concatenate(
             [idx, jnp.full((budget - k,), n - 1, jnp.int32)])
-    count = jnp.minimum(jnp.sum(mask_flat.astype(jnp.int32)), budget)
-    return idx, count
+    total = jnp.sum(mask_flat.astype(jnp.int32))
+    return idx, jnp.minimum(total, budget), total
 
 
 class MarchOut(NamedTuple):
@@ -118,10 +120,15 @@ class MarchOut(NamedTuple):
     verts_y: jnp.ndarray
     verts_z: jnp.ndarray
     faces: jnp.ndarray         # [max_tris, 3] int32 into the vert buffers
-    n_verts: jnp.ndarray       # scalar int32
-    n_tris: jnp.ndarray        # scalar int32
-    n_cells: jnp.ndarray       # scalar int32 (true count, overflow check)
-    n_tris_total: jnp.ndarray  # scalar int32 (true count, overflow check)
+    n_verts: jnp.ndarray       # scalar int32 (clamped to max_verts)
+    n_tris: jnp.ndarray        # scalar int32 (clamped to max_tris)
+    n_cells: jnp.ndarray       # scalar int32 (cells in-buffer, <= max_cells)
+    n_tris_total: jnp.ndarray  # scalar int32 true count; > n_tris = overflow
+    n_cells_total: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # ^ true candidate-cell count: dense path = all active cells; coarse
+    #   path = survivors + 8x each dropped mixed coarse cell (upper bound).
+    #   n_cells_total > n_cells means candidates were silently lost — raise
+    #   max_cells (mirrors the engine's levelN_overflow stats).
 
 
 @functools.partial(jax.jit, static_argnames=("max_cells", "max_tris",
@@ -155,7 +162,8 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
         cnt = sum(corner(inside, c, D, H, W).astype(jnp.int8)
                   for c in range(8))
         active = (cnt > 0) & (cnt < 8)
-        cell_idx, n_cells = _compact_indices(active.reshape(-1), max_cells)
+        cell_idx, n_cells, n_cells_total = _compact_indices(
+            active.reshape(-1), max_cells)
         alive_cells = jnp.arange(max_cells) < n_cells
         cz = cell_idx // (ch * cw)
         cy = (cell_idx // cw) % ch
@@ -167,7 +175,8 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
                    for c in range(8))
         mixed = (cntc > 0) & (cntc < 8)
         nc_budget = max_cells // 8
-        idxc, n_c = _compact_indices(mixed.reshape(-1), nc_budget)
+        idxc, n_c, n_mixed_total = _compact_indices(
+            mixed.reshape(-1), nc_budget)
         ccz = idxc // ((Hc - 1) * (Wc - 1))
         ccy = (idxc // (Wc - 1)) % (Hc - 1)
         ccx = idxc % (Wc - 1)
@@ -185,6 +194,10 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
         cell_idx = (cz * ch + cy) * cw + cx
         alive_cells = valid.reshape(-1)
         n_cells = jnp.sum(alive_cells.astype(jnp.int32))
+        # each dropped mixed coarse cell hides up to 8 fine candidates —
+        # count them so callers see coarse-candidate overflow
+        n_cells_total = n_cells + 8 * jnp.maximum(n_mixed_total - nc_budget,
+                                                  0)
 
     occ_flat = occ.reshape(-1)
     lin = ((cz[:, None] + _CORNER_OFF[:, 2][None]) * H +
@@ -251,7 +264,7 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     slot_valid = (slot_valid &
                   alive_cells[:, None, None]).reshape(-1)  # [NC*12]
 
-    tri_idx, n_tris = _compact_indices(slot_valid, max_tris)
+    tri_idx, n_tris, n_tris_total = _compact_indices(slot_valid, max_tris)
     tri_alive = jnp.arange(max_tris) < n_tris
 
     # triangle slot s covers vertex-slots [3s, 3s+3) after the (k, j)
@@ -283,7 +296,7 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     # gather-formulation of the vertex table: positions of first
     # occurrences compact into [max_verts], then verts come as gathers
     # (TPU gathers beat 3 large scatters)
-    vpos, _ = _compact_indices(first, max_verts)
+    vpos, _, _ = _compact_indices(first, max_verts)
     verts_x = sx[vpos]
     verts_y = sy[vpos]
     verts_z = sz[vpos]
@@ -295,7 +308,7 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
 
     return MarchOut(verts_x, verts_y, verts_z, faces,
                     jnp.minimum(n_verts, max_verts), n_tris,
-                    n_cells, n_tris)
+                    n_cells, n_tris_total, n_cells_total)
 
 
 def marching_tetrahedra(occ: jnp.ndarray, iso: float = 0.5,

@@ -69,8 +69,8 @@ def main():
     def stage_compact(active):
         return _compact_indices(active.reshape(-1), max_cells)
 
-    (cell_idx, n_cells) = timeit("compact 256^3 -> 262k",
-                                 jax.jit(stage_compact), active)
+    (cell_idx, n_cells, _) = timeit("compact 256^3 -> 262k",
+                                    jax.jit(stage_compact), active)
     print("  n_cells:", int(n_cells))
 
     def stage_gather(occ, cell_idx):

@@ -75,6 +75,37 @@ def test_overflow_counts_reported():
     assert int(n_cells) == 64 and int(n_tris) == 128  # clamped, not crashed
 
 
+def test_overflow_totals_exceed_clamped():
+    """n_cells_total / n_tris_total carry the TRUE counts so undersized
+    buffers are detectable (engine levelN_overflow analog)."""
+    from icon_tpu.recon.marching import marching_tetrahedra_indexed
+    R = 33
+    occ = jnp.array(sphere_occ(R))
+    out = marching_tetrahedra_indexed(occ, 0.5, max_cells=64, max_tris=128,
+                                      max_verts=256)
+    assert int(out.n_cells_total) > int(out.n_cells)
+    assert int(out.n_tris_total) > int(out.n_tris)
+    # properly-sized buffers: totals agree with in-buffer counts
+    ok = marching_tetrahedra_indexed(occ, 0.5, max_cells=1 << 14,
+                                     max_tris=1 << 16, max_verts=1 << 15)
+    assert int(ok.n_cells_total) == int(ok.n_cells)
+    assert int(ok.n_tris_total) == int(ok.n_tris)
+
+
+def test_coarse_candidate_overflow_reported():
+    """Dropped mixed coarse cells must surface in n_cells_total."""
+    from icon_tpu.ops.resize import resize3d_trilinear_align_corners
+    from icon_tpu.recon.marching import marching_tetrahedra_indexed
+    coarse = jnp.array(sphere_occ(33))
+    fine = resize3d_trilinear_align_corners(
+        coarse[None, ..., None], (65, 65, 65))[0, ..., 0]
+    occ = fine[1:, 1:, 1:]
+    out = marching_tetrahedra_indexed(occ, 0.5, max_cells=64,  # 8 coarse slots
+                                      max_tris=128, max_verts=256,
+                                      coarse_occ=coarse)
+    assert int(out.n_cells_total) > int(out.n_cells)
+
+
 def test_empty_grid():
     occ = jnp.zeros((17, 17, 17))
     tv, tm, n_cells, n_tris = marching_tetrahedra(occ, 0.5,
