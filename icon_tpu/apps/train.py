@@ -38,8 +38,20 @@ def main():
     ap.add_argument("--max_steps", type=int, default=0,
                     help="cap steps (debug)")
     ap.add_argument("--max_eval_items", type=int, default=0)
+    ap.add_argument("-dist", "--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize from "
+                         "COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID")
     ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args()
+
+    if args.distributed:
+        # must run before the first jax import touches the backend
+        from icon_tpu.parallel.dist import initialize_distributed
+        if initialize_distributed():
+            import jax
+            print(f"[dist] process {jax.process_index()}/"
+                  f"{jax.process_count()}, "
+                  f"{jax.device_count()} global devices")
 
     import jax
     import jax.numpy as jnp
@@ -186,8 +198,11 @@ def main():
             val_loss = float(np.mean(vals)) if vals else float("nan")
             logger.log(step, {"val_loss": val_loss})
             print(f"epoch {epoch}: val_loss={val_loss:.4f}", flush=True)
-        mgr.save(step, jax.device_get(state),
-                 val_loss if np.isfinite(val_loss) else 1e9)
+        # rank-0-only checkpoint writes (reference apps/train.py:47-61)
+        from icon_tpu.parallel.dist import is_main_process
+        if is_main_process():
+            mgr.save(step, jax.device_get(state),
+                     val_loss if np.isfinite(val_loss) else 1e9)
         if args.max_steps and step >= args.max_steps:
             break
     print(f"done: {step} steps in {time.time() - t0:.0f}s")

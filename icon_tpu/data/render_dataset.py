@@ -75,6 +75,58 @@ def random_sh(rng: np.random.RandomState) -> np.ndarray:
     return sh
 
 
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """[n, 3] near-uniform unit directions."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    return np.stack([np.sin(phi) * np.cos(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(phi)], -1).astype(np.float32)
+
+
+def compute_prt(verts: np.ndarray, faces: np.ndarray,
+                n_dirs: int = 64, vis_res: int = 512) -> np.ndarray:
+    """Per-vertex diffuse PRT transport [V, 9] with self-shadowing
+    (reference prt_util.py computePRT, which Monte-Carlo integrates
+    visibility x cosine x SH over embree rays).
+
+    TPU-native formulation: instead of per-vertex ray casts, render the
+    mesh from ``n_dirs`` directions with the tile rasterizer and read
+    per-vertex visibility from the face-id buffer — K rasterizations
+    instead of V*K rays. T_lm = (4/K) sum_k vis_k cos+ Y_lm(d_k); the
+    constant matches the analytic ``sh_basis(n) @ sh`` path at the ambient
+    band for unshadowed surfaces, so PRT renders sit in the same exposure
+    range while concavities (armpits, chin, folds) darken correctly."""
+    import jax.numpy as jnp
+    from icon_tpu.ops.mesh import vertex_normals
+    from icon_tpu.ops.raster import vertex_visibility
+
+    v = jnp.asarray(verts)
+    f = jnp.asarray(faces)
+    vn = np.asarray(vertex_normals(v[None], f)[0])
+    dirs = fibonacci_sphere(n_dirs)
+    V = len(verts)
+    T = np.zeros((V, 9), np.float32)
+    flip = np.array([1, -1, -1], np.float32)
+    for d in dirs:
+        # orthonormal frame with +z = d; rasterizer looks along smaller-z
+        z = d
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        if abs(np.dot(up, z)) > 0.95:
+            up = np.array([1.0, 0.0, 0.0], np.float32)
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z]).astype(np.float32)      # world -> view
+        ndc = (verts @ R.T) * flip
+        vis = np.asarray(vertex_visibility(jnp.asarray(ndc), f,
+                                           res=vis_res))[:, 0]
+        cos = np.maximum(vn @ d, 0.0)
+        T += (vis * cos)[:, None] * sh_basis(d)[None]
+    return T * (4.0 / n_dirs)
+
+
 def _save_png(path: str, rgb01: np.ndarray, mask01: np.ndarray) -> None:
     from PIL import Image
     os.makedirs(osp.dirname(path), exist_ok=True)
@@ -90,10 +142,18 @@ def render_subject_views(out_dir: str,
                          rotations: Sequence[int],
                          size: int = 512,
                          seed: int = 0,
-                         with_light: bool = True) -> None:
+                         with_light: bool = True,
+                         prt: Optional[np.ndarray] = None,
+                         vis_res: Optional[int] = None) -> None:
     """Render all views of one subject into ``out_dir`` (the
     ``{dataset}_{R}views/{subject}`` folder). Verts are in world units that
-    the calib scale maps into [-1, 1] (i.e. already normalized scans)."""
+    the calib scale maps into [-1, 1] (i.e. already normalized scans).
+
+    ``prt``: optional [V, 9] self-shadow transport from :func:`compute_prt`
+    — the render images then use PRT irradiance (concavities darken)
+    instead of analytic SH on normals. ``vis_res`` overrides the SMPL
+    visibility raster resolution (the reference uses 4096^2,
+    mesh_util.py:295)."""
     import jax.numpy as jnp
     from icon_tpu.ops.mesh import vertex_normals
     from icon_tpu.ops.raster import rasterize, vertex_visibility
@@ -130,16 +190,26 @@ def render_subject_views(out_dir: str,
         s_nv = view_normals(s_vn)
         sh = random_sh(rng) if with_light else None
 
+        # PRT: per-vertex irradiance for this view's light, interpolated by
+        # the rasterizer alongside the normals (one pass, 6-channel attr)
+        s_attr = s_nv
+        if prt is not None and sh is not None:
+            irr_v = jnp.asarray(np.clip(prt @ sh, 0, None))
+            s_attr = jnp.concatenate([s_nv, irr_v], axis=-1)
+
         for suffix, zsign in (("F", 1.0), ("B", -1.0)):
             ndc = s_ndc * jnp.asarray(np.array([1, 1, zsign], np.float32))
-            out = rasterize(ndc, sf, s_nv, H=size, W=size)
-            nimg = np.asarray(out.attr)
+            out = rasterize(ndc, sf, s_attr, H=size, W=size)
+            attr = np.asarray(out.attr)
+            nimg = attr[..., :3]
             mask = np.asarray(out.mask)
             _save_png(osp.join(out_dir, f"normal_{suffix}",
                                f"{y:03d}.png"), (nimg + 1) * 0.5, mask)
             if suffix == "F":
-                if sh is not None:
-                    albedo = np.full((size, size, 3), 0.75, np.float32)
+                albedo = np.full((size, size, 3), 0.75, np.float32)
+                if prt is not None and sh is not None:
+                    rgb = np.clip(albedo * attr[..., 3:6], 0, 1)
+                elif sh is not None:
                     irr = sh_basis(nimg) @ sh          # [H, W, 3]
                     rgb = np.clip(albedo * irr, 0, 1)
                 else:
@@ -159,8 +229,8 @@ def render_subject_views(out_dir: str,
                           (np.asarray(out.attr) + 1) * 0.5,
                           np.asarray(out.mask))
             # per-view SMPL visibility (reference vis_single.py:42-64)
-            vis = np.asarray(vertex_visibility(b_ndc, bf, res=min(
-                4 * size, 1024)))
+            vis = np.asarray(vertex_visibility(
+                b_ndc, bf, res=vis_res or min(4 * size, 1024)))
             vpath = osp.join(out_dir, "vis", f"{y:03d}.npy")
             os.makedirs(osp.dirname(vpath), exist_ok=True)
             np.save(vpath, vis.astype(np.float32))

@@ -4,9 +4,11 @@ process_image :89-185).
 
 Preprocessing contract: images with an alpha channel are used as-is (the
 alpha is the person matte; its bbox drives the crop). RGB images without
-alpha fall back to a full-frame crop with a unit mask — the reference runs a
-detector + rembg matting there; the weight-ported equivalents plug in through
-``segmenter`` when their checkpoints are installed (data/HPS/...).
+alpha run the detector-first pipeline (models/detector.py): a weight-free
+spectral-residual saliency detector proposes the person box (the
+reference's ``human_det`` role, imutils.py:34-47), then U^2-Net matting
+refines the alpha inside the box when its checkpoint is installed
+(data/HPS/u2net.pth, the reference's rembg role).
 
 Outputs per item mirror the reference's data_dict (TestDataset.py:232-287):
 ``image`` [512,512,3] in [-1,1] masked, ``mask``, ``betas`` [1,10],
@@ -55,8 +57,12 @@ def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
     rgba = np.asarray(im.convert("RGBA"), np.float32) / 255.0
     rgb, alpha = rgba[..., :3], rgba[..., 3]
     if not has_alpha:
-        alpha = segmenter(rgb) if segmenter is not None \
-            else np.ones_like(alpha)
+        # detector-first, matting-inside-the-box (the reference's
+        # human_det -> rembg order, imutils.py:89-136). The saliency
+        # detector needs no weights, so plain RGB photos get a person
+        # crop even before the U^2-Net checkpoint is installed.
+        from icon_tpu.models.detector import detect_and_matte
+        alpha = detect_and_matte(rgb, segmenter)
 
     top, left, size = alpha_bbox(alpha)
     H, W = alpha.shape

@@ -66,7 +66,7 @@ def world_to_ndc(verts: np.ndarray, calib: np.ndarray) -> np.ndarray:
 def run_evaluation(cfg, dataset, net, variables,
                    mcube_res: Optional[int] = None,
                    num_samples: int = 1000,
-                   nc_size: int = 256,
+                   nc_size: int = 512,
                    max_items: int = 0) -> Dict[str, Dict[str, float]]:
     """Evaluate every test view; returns {dataset: {metric: mean}} and prints
     the benchmark table (reference test_epoch_end, ICON.py:647-673)."""

@@ -191,7 +191,9 @@ class HGPIFuNet(nn.Module):
                 sdf, norm, cmap, vis = cal_sdf_batch_fast(
                     smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],
                     smpl_feat["smpl_cmap"], smpl_feat["smpl_vis"], xyz,
-                    smpl_feat["smpl_vf_table"])
+                    smpl_feat["smpl_vf_table"],
+                    cluster_faces=smpl_feat.get("smpl_clusters"),
+                    cluster_mask=smpl_feat.get("smpl_cluster_mask"))
             else:
                 sdf, norm, cmap, vis = cal_sdf_batch(
                     smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],

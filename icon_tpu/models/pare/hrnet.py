@@ -161,10 +161,22 @@ class HRNet(nn.Module):
         for m in range(self.stage_modules[2]):
             xs = HRModule(widths, name=f"stage4_{m}")(xs, train)
 
-        # '-conv' output: every branch resampled to branch-0 resolution
-        tgt = xs[0].shape[1:3]
+        # '-conv' output (reference hrnet.py:447-466, 543-547
+        # upsample_stage_{2,3,4}): each lower branch climbs to branch-0
+        # resolution through repeated (bilinear align_corners x2 -> conv3x3
+        # -> BN -> ReLU) steps, then all four concatenate. These upsample
+        # convs are learned weights in the published checkpoint — a plain
+        # resize would both miss them and break weight-port parity.
+        from icon_tpu.ops.resize import resize_align_corners
         ups = [xs[0]]
-        for h in xs[1:]:
-            ups.append(jax.image.resize(
-                h, (h.shape[0], tgt[0], tgt[1], h.shape[-1]), "nearest"))
+        for b in range(1, 4):
+            h = xs[b]
+            for s in range(b):
+                h = resize_align_corners(
+                    h, (2 * h.shape[1], 2 * h.shape[2]), "linear")
+                h = nn.Conv(h.shape[-1], (3, 3), padding=1, use_bias=False,
+                            name=f"up{b}_conv{s}")(h)
+                h = _bn(train, f"up{b}_bn{s}")(h)
+                h = nn.relu(h)
+            ups.append(h)
         return jnp.concatenate(ups, axis=-1)

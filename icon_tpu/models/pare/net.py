@@ -92,7 +92,10 @@ class PareHead(nn.Module):
         cam_shape = keypoint_attention(cam_shape_feats, part_attention)
 
         pred_pose6d = LocallyConnected(6, name="pose_mlp")(point_local_feat)
-        flat = cam_shape.reshape(B, -1)
+        # channel-major flatten: the reference flattens [B, C, J]
+        # (pare_head.py torch.flatten(cam_shape_feats [B, 64, 24])), so the
+        # shape/cam Linear weights are laid out c-major
+        flat = jnp.swapaxes(cam_shape, 1, 2).reshape(B, -1)
         pred_shape = nn.Dense(10, name="shape_mlp")(flat)
         pred_cam = nn.Dense(3, name="cam_mlp")(flat)
 

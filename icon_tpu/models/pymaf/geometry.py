@@ -47,9 +47,19 @@ def identity_rot6d(n_joints: int) -> jnp.ndarray:
 
 
 def weak_perspective_projection(points: jnp.ndarray,
-                                cam: jnp.ndarray) -> jnp.ndarray:
-    """[B, N, 3] + cam [B, 3] (s, tx, ty) -> [B, N, 2] in [-1, 1]
-    (reference geometry.py projection used by MAF_Extractor.forward)."""
-    s = cam[:, 0:1, None]
-    t = cam[:, None, 1:3]
-    return s * (points[..., :2] + t)
+                                cam: jnp.ndarray,
+                                focal: float = 5000.0,
+                                img_res: float = 224.0) -> jnp.ndarray:
+    """[B, N, 3] + cam [B, 3] (s, tx, ty) -> [B, N, 2] in [-1, 1].
+
+    Exact reference formula (geometry.py:246-264 ``projection``): a
+    *perspective* camera at t = (tx, ty, 2*focal/(img_res*s)) with focal
+    5000 px on a 224 px image, normalized by img_res/2 — not the s*(x+t)
+    weak-perspective limit (which deviates ~Z*s/45, ~2% over a body)."""
+    s = cam[:, 0]
+    tz = 2.0 * focal / (img_res * s + 1e-9)
+    X = points[..., 0] + cam[:, None, 1]
+    Y = points[..., 1] + cam[:, None, 2]
+    Z = points[..., 2] + tz[:, None]
+    xy = jnp.stack([focal * X / Z, focal * Y / Z], axis=-1)
+    return xy / (img_res / 2.0)

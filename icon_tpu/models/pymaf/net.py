@@ -55,7 +55,11 @@ class MAFExtractor(nn.Module):
                 y = nn.leaky_relu(y, 0.01)
         y = nn.relu(y)
         B = y.shape[0]
-        return y.reshape(B, -1)
+        # channel-major flatten: the reference's reduce_dim flattens
+        # [B, C, N] (maf_extractor.py reduce_dim y.view(B, -1)), so the
+        # regressor's fc1 weights are laid out c-major — a point-major
+        # flatten here would permute a ported checkpoint's fc1 input
+        return jnp.swapaxes(y, 1, 2).reshape(B, -1)
 
 
 class Regressor(nn.Module):

@@ -142,12 +142,17 @@ class ReconEngine:
         if need <= 0 or need > cap:       # overflow last frame -> reset
             return cap
         want = int(need * self.auto_headroom)
+        # geometric ladder with ratio 1.25 quantized to 4096: padded budget
+        # slots still pay full query compute, so a power-of-two ladder wastes
+        # up to 2x headroom (e.g. 25k boundary points -> 65536 bucket); the
+        # finer ladder caps the waste at ~1.25x while keeping the bucket set
+        # small enough that stable fields reuse one executable per level.
         b = 4096
         while b < want:
-            b *= 2
+            b = -(-int(b * 1.25) // 4096) * 4096
         # buckets must stay multiples of pad_multiple (sharded queries split
-        # the point axis evenly); the ladder alone only guarantees powers
-        # of two, which a 3- or 6-device mesh does not divide
+        # the point axis evenly), which 4096 alone does not guarantee for a
+        # 3- or 6-device mesh
         m = self.pad_multiple
         b = -(-b // m) * m
         return min(b, cap)
@@ -294,6 +299,12 @@ class ReconEngine:
             occ, evaluated, n_total, n_conf = step(occ, evaluated)
             if self.auto_budget:
                 self._last_counts[lv] = n_total   # read lazily next frame
+                try:    # overlap the scalar d2h with remaining levels —
+                        # a blocking fetch on the tunneled device costs
+                        # ~15-30 ms per round trip
+                    n_total.copy_to_host_async()
+                except Exception:
+                    pass
             stats[f"level{lv}_points"] = n_total
             stats[f"level{lv}_overflow"] = jnp.maximum(n_total - budget, 0)
             if self.exact:

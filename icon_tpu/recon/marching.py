@@ -294,21 +294,99 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     n_verts = jnp.maximum(vid_sorted[-1] + 1, 0)
 
     # gather-formulation of the vertex table: positions of first
-    # occurrences compact into [max_verts], then verts come as gathers
-    # (TPU gathers beat 3 large scatters)
+    # occurrences compact into [max_verts], then verts come as gathers.
+    # (Measured on v5e: top_k compaction beats a searchsorted binary
+    # search here — 21 serial gather rounds over the 3*max_tris array lose
+    # to one fused sort.)
     vpos, _, _ = _compact_indices(first, max_verts)
     verts_x = sx[vpos]
     verts_y = sy[vpos]
     verts_z = sz[vpos]
 
-    # faces: scatter sorted vertex ids back to original soup order
-    soup_vid = jnp.zeros((M,), jnp.int32).at[order].set(vid_sorted)
+    # faces: scatter sorted vertex ids back to original soup order; `order`
+    # is a permutation, so the scatter indices are provably unique
+    soup_vid = jnp.zeros((M,), jnp.int32).at[order].set(
+        vid_sorted, unique_indices=True)
     faces = soup_vid.reshape(-1, 3)
     faces = jnp.where(tri_alive[:, None], faces, 0)
 
     return MarchOut(verts_x, verts_y, verts_z, faces,
                     jnp.minimum(n_verts, max_verts), n_tris,
                     n_cells, n_tris_total, n_cells_total)
+
+
+class AutoMarcher:
+    """Steady-state buffer autotuning for marching (the engine's
+    ``auto_budget`` pattern): the sort/compaction cost of
+    :func:`marching_tetrahedra_indexed` scales with the *static* buffer
+    sizes, so each frame sizes its buffers from the previous frame's
+    measured ``n_cells_total`` / ``n_tris_total`` x headroom, snapped to a
+    geometric bucket ladder (one executable per bucket, compile-cached).
+    The first frame and any frame after an overflow use the configured cap
+    sizes, so a scene change degrades at most one frame before re-upsizing.
+    """
+
+    def __init__(self, max_cells: int = 1 << 18, max_tris: int = 1 << 20,
+                 max_verts: Optional[int] = None, iso: float = 0.5,
+                 headroom: float = 1.3, use_coarse: bool = True,
+                 slice_one: bool = False):
+        """``slice_one``: drop the first slice of each axis inside the
+        jitted call (the engine/export grid convention,
+        seg3d_lossless.py:585) instead of paying an eager slice op."""
+        self.caps = (max_cells, max_tris,
+                     max_verts or min(2 * max_tris, 1 << 21))
+        self.iso = iso
+        self.headroom = headroom
+        self.use_coarse = use_coarse
+        self.slice_one = slice_one
+        self._last = None          # device [2]: (n_cells_total, n_tris_total)
+        self._jit_cache = {}
+
+    @staticmethod
+    def _bucket(want: int, cap: int) -> int:
+        b = 8192
+        while b < want:
+            b = -(-int(b * 1.25) // 8192) * 8192
+        return min(b, cap)
+
+    def _sizes(self) -> Tuple[int, int, int]:
+        if self._last is None:
+            return self.caps
+        try:
+            ncells, ntris = (int(v) for v in np.asarray(self._last))
+        except Exception:
+            return self.caps
+        if ncells <= 0 or ntris <= 0 or ncells > self.caps[0] \
+                or ntris > self.caps[1]:
+            return self.caps                       # overflow -> reset
+        mc = self._bucket(int(ncells * self.headroom), self.caps[0])
+        mt = self._bucket(int(ntris * self.headroom), self.caps[1])
+        # MT produces ~1 shared vertex per 2 triangles
+        mv = self._bucket(int(ntris * 0.75 * self.headroom), self.caps[2])
+        return mc, mt, mv
+
+    def __call__(self, occ: jnp.ndarray,
+                 coarse_occ: Optional[jnp.ndarray] = None) -> MarchOut:
+        mc, mt, mv = self._sizes()
+        key = (mc, mt, mv, occ.shape, coarse_occ is not None)
+        if key not in self._jit_cache:
+            def fn(occ, coarse_occ, mc=mc, mt=mt, mv=mv):
+                if self.slice_one:
+                    occ = occ[1:, 1:, 1:]
+                return marching_tetrahedra_indexed(
+                    occ, iso=self.iso, max_cells=mc, max_tris=mt,
+                    max_verts=mv, coarse_occ=coarse_occ)
+            self._jit_cache[key] = jax.jit(fn)
+        out = self._jit_cache[key](
+            occ, coarse_occ=coarse_occ if self.use_coarse else None)
+        # counts are read lazily NEXT frame (and pre-fetched async) so this
+        # call never blocks — autotuning must not serialize the pipeline
+        self._last = jnp.stack([out.n_cells_total, out.n_tris_total])
+        try:
+            self._last.copy_to_host_async()
+        except Exception:
+            pass
+        return out
 
 
 def marching_tetrahedra(occ: jnp.ndarray, iso: float = 0.5,
@@ -326,31 +404,110 @@ def marching_tetrahedra(occ: jnp.ndarray, iso: float = 0.5,
     return tri, mask, out.n_cells, out.n_tris
 
 
-def fetch_mesh(out: MarchOut) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal-transfer host fetch: slices the compact buffers to their true
-    sizes and moves ONE packed buffer over the (slow) host link — each
-    separate np.asarray costs a ~30 ms round trip on the tunneled device.
-    Face indices bitcast to float32 losslessly."""
+@functools.lru_cache(maxsize=64)
+def _pack_fn(nv: int, nt: int, quantize: bool):
+    """Jitted packer for bucketed (nv, nt) sizes — eager per-op dispatch on
+    the tunneled device costs ~20 ms each, so the pack must be ONE
+    executable; bucketing the sizes keeps the executable count small and
+    lets stable scenes reuse one compile."""
+
+    def pack(vx, vy, vz, faces):
+        vx = jax.lax.slice(vx, (0,), (nv,))
+        vy = jax.lax.slice(vy, (0,), (nv,))
+        vz = jax.lax.slice(vz, (0,), (nv,))
+        f = jax.lax.slice(faces, (0, 0), (nt, 3))
+        if not quantize:
+            return jnp.concatenate([
+                vx, vy, vz,
+                jax.lax.bitcast_convert_type(f.reshape(-1), jnp.float32)])
+
+        def q(v):
+            return jnp.clip(jnp.round(v * 64.0), 0, 65535).astype(jnp.int32)
+
+        xq, yq, zq = q(vx), q(vy), q(vz)
+        w_xy = xq | (yq << 16)
+        zpad = jnp.concatenate([zq, jnp.zeros((nv % 2,), jnp.int32)])
+        w_zz = zpad[0::2] | (zpad[1::2] << 16)
+        f0, f1, f2 = f[:, 0], f[:, 1], f[:, 2]
+        w0 = f0 | ((f1 & 0x7FF) << 21)
+        w1 = (f1 >> 11) | (f2 << 10)
+        return jnp.concatenate([w_xy, w_zz, w0, w1])
+
+    return jax.jit(pack)
+
+
+def pack_mesh(out: MarchOut, quantize: bool = True, bucket: int = 16384):
+    """Device-side packing of the compact mesh into ONE int32 buffer for a
+    single host transfer (the tunneled host link here moves ~20 MB/s, so
+    bytes are the cost). Returns (packed device array, nv, nt) — the
+    transfer itself happens in :func:`unpack_mesh`, so callers can enqueue
+    the next frame's compute before blocking on the copy.
+
+    ``quantize``: verts as 10.6 fixed point (uint16 per coordinate, max grid
+    1023, error <= 1/128 voxel — at 256^3 that is 6e-5 in world units) and
+    faces as 2x21-bit packed indices: 6 B/vertex + 8 B/face instead of
+    12 B each, ~1.7x fewer bytes end to end. ``quantize=False`` transfers
+    exact float32 coords + int32 faces.
+
+    Counts round up to ``bucket`` so the jitted packer compiles once per
+    size class; the decoder drops the padding via the true counts.
+    """
     nv = int(out.n_verts)
     nt = int(out.n_tris)
     if nv == 0 or nt == 0:
+        return None, 0, 0
+    if quantize:
+        assert out.verts_x.shape[0] <= (1 << 21), "21-bit face index packing"
+    nvb = min(-(-nv // bucket) * bucket, out.verts_x.shape[0])
+    ntb = min(-(-nt // bucket) * bucket, out.faces.shape[0])
+    packed = _pack_fn(nvb, ntb, quantize)(out.verts_x, out.verts_y,
+                                          out.verts_z, out.faces)
+    return (packed, nvb, ntb), nv, nt
+
+
+def unpack_mesh(packed, nv: int, nt: int,
+                quantize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocking host transfer + decode of a :func:`pack_mesh` buffer."""
+    if packed is None or nv == 0 or nt == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
-    packed = jnp.concatenate([
-        jax.lax.slice(out.verts_x, (0,), (nv,)),
-        jax.lax.slice(out.verts_y, (0,), (nv,)),
-        jax.lax.slice(out.verts_z, (0,), (nv,)),
-        jax.lax.bitcast_convert_type(
-            jax.lax.slice(out.faces, (0, 0), (nt, 3)).reshape(-1),
-            jnp.float32)])
-    host = np.asarray(packed)
-    vx, vy, vz = host[:nv], host[nv:2 * nv], host[2 * nv:3 * nv]
-    faces = host[3 * nv:].view(np.int32).reshape(-1, 3)
-    verts = np.stack([vx, vy, vz], axis=-1)
+    buf, nvb, ntb = packed
+    host = np.asarray(buf)
+    if not quantize:
+        vx = host[:nvb][:nv]
+        vy = host[nvb:2 * nvb][:nv]
+        vz = host[2 * nvb:3 * nvb][:nv]
+        faces = host[3 * nvb:].view(np.int32).reshape(-1, 3)[:nt]
+        verts = np.stack([vx, vy, vz], axis=-1).astype(np.float32)
+    else:
+        u = host.view(np.uint32)
+        w_xy = u[:nvb][:nv]
+        nz = (nvb + 1) // 2
+        w_zz = u[nvb:nvb + nz]
+        x = (w_xy & 0xFFFF).astype(np.float32) / 64.0
+        y = (w_xy >> 16).astype(np.float32) / 64.0
+        zfull = np.empty(nz * 2, np.float32)
+        zfull[0::2] = (w_zz & 0xFFFF).astype(np.float32) / 64.0
+        zfull[1::2] = (w_zz >> 16).astype(np.float32) / 64.0
+        verts = np.stack([x, y, zfull[:nv]], axis=-1)
+        w0 = u[nvb + nz:nvb + nz + ntb][:nt]
+        w1 = u[nvb + nz + ntb:][:nt]
+        f0 = w0 & 0x1FFFFF
+        f1 = (w0 >> 21) | ((w1 & 0x3FF) << 11)
+        f2 = w1 >> 10
+        faces = np.stack([f0, f1, f2], axis=-1).astype(np.int64)
     # drop degenerate faces (dedup can merge a triangle's vertices when the
     # iso value sits exactly on a lattice vertex)
     good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) &
             (faces[:, 0] != faces[:, 2]))
-    return verts.astype(np.float32), faces[good].astype(np.int64)
+    return verts, faces[good].astype(np.int64)
+
+
+def fetch_mesh(out: MarchOut,
+               quantize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """pack + transfer + decode in one call (see pack_mesh/unpack_mesh;
+    split them to overlap the host copy with the next frame's compute)."""
+    packed, nv, nt = pack_mesh(out, quantize=quantize)
+    return unpack_mesh(packed, nv, nt, quantize=quantize)
 
 
 def dedup_triangle_soup(tri_verts: np.ndarray, tri_mask: np.ndarray):

@@ -1,0 +1,77 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import time, numpy as np, jax, jax.numpy as jnp
+from icon_tpu.utils.jax_cache import enable; enable()
+from icon_tpu.config import Config, NetConfig
+from icon_tpu.models.hgpifu import HGPIFuNet
+from icon_tpu.recon.engine import ReconEngine, reconstruction_resolutions
+from icon_tpu.recon.marching import AutoMarcher, pack_mesh, unpack_mesh
+from icon_tpu.utils.synthetic import synthetic_icon_batch, clothed_human_occ
+from icon_tpu.ops.sdf_fast import build_vertex_face_table
+
+cfg = Config(test_mode=False, net=NetConfig(
+    mlp_dim=(256,512,256,128,1), res_layers=(2,3,4), num_stack=2,
+    prior_type="icon", use_filter=True,
+    in_geo=(("normal_F",3),("normal_B",3)),
+    in_nml=(("image",3),("T_normal_F",3),("T_normal_B",3)),
+    smpl_feats=("sdf","norm","vis","cmap"), norm_mlp="batch",
+    hourglass_dim=6, smpl_dim=7))
+net = HGPIFuNet(cfg)
+rng = np.random.RandomState(0)
+batch = synthetic_icon_batch(rng, B=1, image_size=512, n_samples=64, subdiv=5)
+batch = {k: jnp.asarray(v) for k,v in batch.items()}
+variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+res = reconstruction_resolutions(256)
+eng = ReconEngine(res, faster=True, auto_budget=True, auto_headroom=1.3)
+smpl_feat = {k: batch[k] for k in ("smpl_verts","smpl_faces","smpl_cmap","smpl_vis")}
+smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(np.asarray(batch["smpl_faces"]), batch["smpl_verts"].shape[1]))
+filter_jit = jax.jit(lambda v,t: net.apply(v,t,train=False,method=net.filter))
+in_t = {k: batch[k] for k in ("image","normal_F","normal_B")}
+features = filter_jit(variables, in_t)
+
+def query_fn(pts):
+    preds = net.apply(variables, features, pts, batch["calib"], smpl_feat, False, method=net.query)[-1]
+    return preds*1e-6 + clothed_human_occ(pts)[..., None]
+
+marcher = AutoMarcher(max_cells=1<<18, max_tris=1<<19, max_verts=1<<19, slice_one=True)
+march_jit = lambda occ, coarse: marcher(occ, coarse_occ=coarse)
+
+def sync(x): jax.block_until_ready(x)
+for _ in range(2):
+    f = filter_jit(variables, in_t); sync(f)
+    occ, stats = eng(query_fn, jit_levels=True); sync(occ)
+    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_tris)
+    packed, nv, nt = pack_mesh(mesh); v, fc = unpack_mesh(packed, nv, nt)
+
+for it in range(3):
+    t0=time.perf_counter(); f=filter_jit(variables,in_t); sync(f); t1=time.perf_counter()
+    occ, stats = eng(query_fn, jit_levels=True); sync(occ); t2=time.perf_counter()
+    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.faces); t3=time.perf_counter()
+    packed, nv, nt = pack_mesh(mesh); sync(packed); t35=time.perf_counter()
+    v, fc = unpack_mesh(packed, nv, nt); t4=time.perf_counter()
+    print(f"filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-t0:.3f}  ntris {nt} nverts {nv}")
+print("levels:", {k:int(vv) for k,vv in stats.items() if k.endswith("_points")}, "buckets:", [eng._bucket(l) for l in (1,2)])
+
+# pipelined throughput: enqueue next frame before blocking on fetch
+def compute():
+    f = filter_jit(variables, in_t)
+    occ, stats = eng(query_fn, jit_levels=True)
+    mesh = march_jit(occ, stats["coarse_occ"])
+    return pack_mesh(mesh)
+pending = compute()
+t0 = time.perf_counter(); N=5
+for _ in range(N):
+    nxt = compute()            # enqueued (async dispatch)
+    v, fc = unpack_mesh(*pending)   # blocks on previous frame's copy
+    pending = nxt
+dt = (time.perf_counter()-t0)/N
+print(f"pipelined: {dt:.3f} s/image  ({1/dt:.2f} images/s)")
+
+# amortized engine-only fps: 5 consecutive evals, one final sync
+occ, _ = eng(query_fn, jit_levels=True); sync(occ)
+t0 = time.perf_counter()
+for _ in range(5):
+    occ, _ = eng(query_fn, jit_levels=True)
+sync(occ)
+dt = (time.perf_counter()-t0)/5
+print(f"engine amortized: {dt:.3f} s ({1/dt:.2f} fps)")

@@ -1,0 +1,105 @@
+"""Convergence proof: the learning system actually learns.
+
+Overfits one synthetic-fixture subject (cfg.overfit, reference
+lib/common/config.py:47 + PIFuDataset.py:183-184) for a few hundred steps,
+reconstructs through the full octree-engine -> marching -> metrics path, and
+asserts the chamfer distance lands below a threshold that a random-init net
+fails by a wide margin. This is the end-to-end evidence that
+filter -> query -> engine -> marching -> evaluator learn *together* —
+every other e2e test runs 2-3 steps on random weights.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def overfit_setup(tmp_path_factory):
+    from icon_tpu.data.fixture import make_synthetic_dataset, fixture_config
+    root = str(tmp_path_factory.mktemp("convdata"))
+    make_synthetic_dataset(root, n_subjects=1, n_views=2, size=64)
+    cfg = fixture_config(root, n_views=2, num_sample_geo=512, image_size=64)
+    # adam @ 1e-3: the overfit recipe — RMSprop 1e-4 (the full-data
+    # schedule) needs thousands of steps on a single sample
+    cfg = dataclasses.replace(cfg, overfit=True, mcube_res=64,
+                              optim="adam", lr_G=1e-3)
+    # overfitting wants no label noise on the body prior
+    cfg.dataset.noise_scale = (0.0, 0.0)
+    return root, cfg
+
+
+def _eval_chamfer(cfg, dataset, net, variables):
+    from icon_tpu.eval.test_loop import run_evaluation
+    table = run_evaluation(cfg, dataset, net, variables, mcube_res=64,
+                           nc_size=128, max_items=1)
+    assert table, "evaluation produced no rows (empty recon?)"
+    row = next(iter(table.values()))
+    return row["chamfer"]
+
+
+def test_overfit_convergence(overfit_setup):
+    import jax
+    import jax.numpy as jnp
+    from icon_tpu.data.datasets import PIFuDataset
+    from icon_tpu.models.hgpifu import HGPIFuNet
+    from icon_tpu.training.train_step import create_train_state, train_step
+
+    root, cfg = overfit_setup
+    dataset = PIFuDataset(cfg, split="train")
+    # eval needs GT scan verts on the items ("test"/"val" splits attach
+    # them); same single subject either way
+    eval_dataset = PIFuDataset(cfg, split="test")
+    # cfg.overfit pins every index to sample 0 (reference
+    # PIFuDataset.py:183-184)
+    assert np.allclose(dataset[0]["calib"], dataset[1]["calib"])
+
+    net = HGPIFuNet(cfg)
+
+    def collate(item):
+        out = {}
+        for k, v in item.items():
+            if isinstance(v, np.ndarray):
+                out[k] = jnp.asarray(v) if k in ("smpl_faces",
+                                                 "smpl_vf_table",
+                                                 "voxel_codes") \
+                    else jnp.asarray(v)[None]
+        return out
+
+    # large steps_per_epoch keeps the MultiStep decay boundaries (cfg
+    # schedule epochs) beyond the overfit horizon — otherwise lr drops 10x
+    # at step 150 and the overfit stalls
+    state = create_train_state(net, jax.random.PRNGKey(0),
+                               collate(dataset[0]), cfg,
+                               steps_per_epoch=100_000)
+    random_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    chamfer_random = _eval_chamfer(cfg, eval_dataset, net, random_vars)
+
+    step_fn = jax.jit(train_step)
+    losses = []
+    # resample the overfit view every 40 steps (fresh points, same subject)
+    for i in range(440):
+        if i % 40 == 0:
+            dataset.set_epoch(i)
+            batch = collate(dataset[0])
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    final = float(np.mean(losses[-10:]))
+    assert final < 0.3 * losses[0], \
+        f"loss did not drop: {losses[0]:.4f} -> {final:.4f}"
+
+    trained_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    chamfer_trained = _eval_chamfer(cfg, eval_dataset, net, trained_vars)
+
+    # x100-scaled chamfer in NDC space: the fixture body spans ~1.7 units,
+    # so 3.0 means ~1.5% of body height mean surface error — a recognizable
+    # body; random nets measure >3x that (typically empty-ish or blob).
+    assert chamfer_trained < 3.0, \
+        f"trained chamfer {chamfer_trained:.3f} (random {chamfer_random:.3f})"
+    assert chamfer_trained < 0.5 * chamfer_random, \
+        f"no learning signal: trained {chamfer_trained:.3f} vs " \
+        f"random {chamfer_random:.3f}"
