@@ -245,24 +245,19 @@ class PIXIEWrapper:
     """Callable HPS: [B,224,224,3] -> PIXIE SMPL-X output dict."""
 
     def __init__(self, ckpt: str = ""):
-        import jax
-        import jax.numpy as jnp
         from icon_tpu.models.pixie import build_pixie
-        self.net, self.body = build_pixie()
+        self.est, self.body = build_pixie()
         self.faces = self.body.faces
-        dummy = jnp.zeros((1, 224, 224, 3))
-        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
-                                       train=False)
         self.random_init = not (ckpt and osp.exists(ckpt))
         if not self.random_init:
             from icon_tpu.models.pixie.convert import load_pixie_checkpoint
-            self.variables = load_pixie_checkpoint(self.variables, ckpt)
+            self.est.variables = load_pixie_checkpoint(
+                self.est.variables, ckpt)
         else:
             print("[hps] no PIXIE checkpoint found — RANDOM weights")
-        self._fwd = jax.jit(lambda v, x: self.net.apply(v, x, train=False))
 
     def __call__(self, img):
-        return self._fwd(self.variables, img)
+        return self.est(img)
 
 
 class HybrIKWrapper:

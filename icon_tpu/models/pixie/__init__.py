@@ -1,3 +1,4 @@
 """PIXIE whole-body SMPL-X estimator (reference lib/pixielib)."""
 
-from icon_tpu.models.pixie.net import PIXIE, build_pixie  # noqa: F401
+from icon_tpu.models.pixie.net import (PIXIE, PixieConfig,  # noqa: F401
+                                       PixieEstimator, build_pixie)
