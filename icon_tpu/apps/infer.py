@@ -259,7 +259,8 @@ def _icon_feats(smpl_verts, body_faces, calib):
     import numpy as np
     from icon_tpu.ops.projection import project
     from icon_tpu.ops.raster import vertex_visibility
-    from icon_tpu.ops.sdf_fast import build_vertex_face_table
+    from icon_tpu.ops.sdf_fast import (build_ray_bins,
+                                       build_vertex_face_table)
     from icon_tpu.models.smplx.assets import SMPLX, get_smpl_model
     import os.path as osp
 
@@ -285,12 +286,18 @@ def _icon_feats(smpl_verts, body_faces, calib):
         cmap = (v_cal - vmin) / jnp.maximum(vmax - vmin, 1e-6)
     vf = build_vertex_face_table(np.asarray(body_faces),
                                  smpl_verts.shape[0])
+    _rb, _rg = build_ray_bins(np.asarray(v_cal),
+                              np.asarray(body_faces))
     return {
         "smpl_verts": v_cal[None],
         "smpl_faces": jnp.asarray(body_faces),
         "smpl_cmap": cmap[None],
         "smpl_vis": vis[None],
         "smpl_vf_table": jnp.asarray(vf),
+        # exact in-net sign (check_sign semantics via ray parity;
+        # ops/sdf_fast.py)
+        "smpl_ray_bins": jnp.asarray(_rb),
+        "smpl_ray_grid": jnp.asarray(_rg),
     }
 
 

@@ -322,9 +322,12 @@ class PIFuDataset:
         query = projection_np(samples, calib).astype(np.float32)
         # exact sign (reference kaolin check_sign, PIFuDataset.py:418);
         # Hoppe disagrees with the exact test under self-contact poses
-        from icon_tpu.ops.winding_np import winding_inside
-        pts_signs = np.where(winding_inside(query, smpl_verts, smpl_faces),
-                             1.0, -1.0).astype(np.float32)
+        # reference pts_signs = kaolin check_sign (PIFuDataset.py:418):
+        # ray-stabbing parity, same semantics as the in-net sign path
+        from icon_tpu.ops.sdf_fast import ray_parity_inside_np
+        pts_signs = np.where(
+            ray_parity_inside_np(query, smpl_verts, smpl_faces),
+            1.0, -1.0).astype(np.float32)
 
         out = {
             "smpl_verts": smpl_verts,
@@ -339,12 +342,11 @@ class PIFuDataset:
             self._smpl_cache[key] = build_vertex_face_table(
                 smpl_faces, len(smpl_verts))
         out["smpl_vf_table"] = self._smpl_cache[key]
-        # winding clusters for the in-net exact sign (follow the posed
-        # verts, so per item; ops/sdf_fast.py fast_winding)
-        from icon_tpu.ops.sdf_fast import build_winding_clusters
-        cf, cm = build_winding_clusters(smpl_verts, smpl_faces)
-        out["smpl_clusters"] = cf
-        out["smpl_cluster_mask"] = cm
+        # in-net sdf sign for the training queries, precomputed here on
+        # host — the sample points are known before the step, so the
+        # device never pays for a sign test (pts_signs is the same parity
+        # as ±1; ops/sdf_fast.py point_body_features ``inside``)
+        out["smpl_query_inside"] = (pts_signs > 0)
         return out
 
     def load_smpl_voxel(self, p: Dict[str, str], subject: str, rotation: int,

@@ -38,7 +38,11 @@ def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
     if calib.ndim == 2:
         calib = calib[None]
     smpl_feat = None
-    skeys = [k for k in batch if k.startswith(("smpl_", "voxel_"))]
+    # smpl_query_inside is the per-training-sample host sign — engine
+    # queries are different points, so drop it and sign via ray bins
+    skeys = [k for k in batch
+             if k.startswith(("smpl_", "voxel_"))
+             and k != "smpl_query_inside"]
     if skeys:
         smpl_feat = {}
         for k in skeys:
@@ -47,6 +51,13 @@ def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
                 smpl_feat[k] = v
             else:
                 smpl_feat[k] = v[None] if v.ndim == 2 else v
+        if "smpl_verts" in smpl_feat and "smpl_vf_table" in smpl_feat:
+            from icon_tpu.ops.sdf_fast import build_ray_bins
+            rb, rg = build_ray_bins(
+                np.asarray(smpl_feat["smpl_verts"])[0],
+                np.asarray(smpl_feat["smpl_faces"]))
+            smpl_feat["smpl_ray_bins"] = jnp.asarray(rb)
+            smpl_feat["smpl_ray_grid"] = jnp.asarray(rg)
 
     def query_fn(pts):
         return net.apply(variables, features, pts, calib, smpl_feat,

@@ -193,7 +193,12 @@ class HGPIFuNet(nn.Module):
                     smpl_feat["smpl_cmap"], smpl_feat["smpl_vis"], xyz,
                     smpl_feat["smpl_vf_table"],
                     cluster_faces=smpl_feat.get("smpl_clusters"),
-                    cluster_mask=smpl_feat.get("smpl_cluster_mask"))
+                    cluster_mask=smpl_feat.get("smpl_cluster_mask"),
+                    ray_bins=smpl_feat.get("smpl_ray_bins"),
+                    ray_grid=smpl_feat.get("smpl_ray_grid"),
+                    cross_z=smpl_feat.get("smpl_cross_z"),
+                    cross_meta=smpl_feat.get("smpl_cross_meta"),
+                    known_inside=smpl_feat.get("smpl_query_inside"))
             else:
                 sdf, norm, cmap, vis = cal_sdf_batch(
                     smpl_feat["smpl_verts"], smpl_feat["smpl_faces"],
