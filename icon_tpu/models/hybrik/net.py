@@ -71,12 +71,19 @@ class ResNet34(nn.Module):
 
 
 class HybrIK(nn.Module):
-    """smpl_forward(betas, rotmats [B,24,3,3]) -> (verts, joints)."""
+    """smpl_forward(betas, rotmats [B,24,3,3]) -> (verts, joints).
+
+    ``num_hm_joints`` = 29 heatmap joints (24 SMPL + ankle/wrist/head leaf
+    extensions, reference hybrik_config NUM_JOINTS); the analytical IK here
+    consumes the 24 SMPL joints — the reference feeds all 29 to its IK
+    where the 5 leaves only refine leaf-adjacent twists that the predicted
+    ``phi`` already parameterizes (simple3dpose.py:325-330)."""
 
     smpl_forward: Callable
     rest_joints: Any                    # [24, 3] template joints (np)
     parents: Sequence[int]
     num_joints: int = 24
+    num_hm_joints: int = 29
     depth_dim: int = 64
     heatmap_size: int = 64
     backbone_layers: Sequence[int] = (3, 4, 6, 3)
@@ -89,7 +96,7 @@ class HybrIK(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
         B = x.shape[0]
-        J = self.num_joints
+        J = self.num_hm_joints
         feat = ResNet34(layers=tuple(self.backbone_layers),
                         width=self.backbone_width, name="preact")(x, train)
 
@@ -117,33 +124,43 @@ class HybrIK(nn.Module):
         coord_x = jnp.einsum("bjdhw,w->bj", hm, rng_s) / S - 0.5
         uvd = jnp.stack([coord_x, coord_y, coord_z], -1)   # [B, J, 3]
 
+        # reference heads have NO activation between fc1/fc2 (only
+        # dropout, simple3dpose.py:276-281) and add the h36m mean-shape
+        # buffer to the shape delta
         g = jnp.mean(feat, axis=(1, 2))
-        xc = nn.relu(nn.Dense(1024, name="fc1")(g))
-        xc = nn.relu(nn.Dense(1024, name="fc2")(xc))
-        pred_shape = nn.Dense(10, name="decshape")(xc)
-        pred_phi = nn.Dense((J - 1) * 2, name="decphi")(xc).reshape(
-            B, J - 1, 2)
+        xc = nn.Dense(1024, name="fc1")(g)
+        xc = nn.Dense(1024, name="fc2")(xc)
+        init_shape = self.param("init_shape",
+                                nn.initializers.zeros, (10,))
+        pred_shape = nn.Dense(10, name="decshape")(xc) + init_shape[None]
+        JS = self.num_joints
+        pred_phi = nn.Dense((JS - 1) * 2, name="decphi")(xc).reshape(
+            B, JS - 1, 2)
         pred_cam = nn.Dense(3, name="deccam")(xc) + jnp.array([0.9, 0, 0])
 
         # camera back-projection (simple3dpose.py:286-302): xy pixels ->
-        # meters at predicted depth, root-relative
+        # meters at predicted depth minus the camera translation,
+        # root-relative
         cam_scale = pred_cam[:, :1][:, None]
+        cam_trans = pred_cam[:, None, 1:]
         cam_depth = self.focal_length / (self.input_size * cam_scale + 1e-9)
         xyz_z = uvd[..., 2:]
-        xyz_xy = (uvd[..., :2] * self.input_size / self.focal_length) * \
-            (xyz_z * 2.2 + cam_depth) / 2.2
+        xyz_xy = ((uvd[..., :2] * self.input_size / self.focal_length)
+                  * (xyz_z * 2.2 + cam_depth) - cam_trans) / 2.2
         xyz = jnp.concatenate([xyz_xy, xyz_z], -1)
         xyz = xyz - xyz[:, :1]
 
         from icon_tpu.models.hybrik.ik import hybrik_ik
         rest = jnp.broadcast_to(jnp.asarray(self.rest_joints)[None],
-                                (B, J, 3))
-        rotmats = hybrik_ik(xyz * 2.2, pred_phi, rest, self.parents)
+                                (B, JS, 3))
+        rotmats = hybrik_ik(xyz[:, :JS] * 2.2, pred_phi, rest,
+                            self.parents)
 
         verts, joints = self.smpl_forward(pred_shape, rotmats)
         return {
             "pred_theta_mats": rotmats,
             "pred_shape": pred_shape,
+            "pred_phi": pred_phi,
             "pred_camera": pred_cam,
             "pred_uvd_jts": uvd,
             "pred_xyz_jts": xyz,
@@ -187,6 +204,7 @@ def build_hybrik(backbone_width: int = 64,
     net = HybrIK(smpl_forward=smpl_forward, rest_joints=rest,
                  parents=tuple(body.parents),
                  num_joints=len(body.parents),
+                 num_hm_joints=len(body.parents) + 5,
                  backbone_width=backbone_width,
                  backbone_layers=tuple(backbone_layers))
     return net, body
