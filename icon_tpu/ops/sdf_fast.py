@@ -278,7 +278,8 @@ def build_ray_bins(verts: np.ndarray, faces: np.ndarray,
     # tile its box covers — measured 258 faces/tile mean on a posed body
     # vs ~40 with the footprint test.
     a2, b2, c2 = tri[:, 0, :2], tri[:, 1, :2], tri[:, 2, :2]
-    den = np.cross(b2 - a2, c2 - a2)                     # [F] 2x area
+    e1, e2 = b2 - a2, c2 - a2
+    den = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]      # [F] 2x area
     orient = np.where(den >= 0, 1.0, -1.0).astype(np.float32)
     edges = []
     for p0, p1 in ((a2, b2), (b2, c2), (c2, a2)):
@@ -451,7 +452,8 @@ def build_column_bins(verts: np.ndarray, faces: np.ndarray,
     span = t1 - t0 + 1
 
     a2, b2, c2 = uv[:, 0], uv[:, 1], uv[:, 2]
-    den = np.cross(b2 - a2, c2 - a2)
+    e1, e2 = b2 - a2, c2 - a2
+    den = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
     orient = np.where(den >= 0, 1.0, -1.0).astype(np.float32)
     edges = []
     for p0, p1 in ((a2, b2), (b2, c2), (c2, a2)):
