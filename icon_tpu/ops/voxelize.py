@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -39,10 +40,11 @@ def smooth_conv3d(vol: jnp.ndarray, k: int) -> jnp.ndarray:
     return vol
 
 
-@functools.partial(jax.jit, static_argnames=("res", "smooth_kernel"))
+@functools.partial(jax.jit,
+                   static_argnames=("res", "sigma", "smooth_kernel"))
 def voxelize_semantic(verts: jnp.ndarray, codes: jnp.ndarray,
                       res: int = 128, sigma: float = 0.05,
-                      smooth_kernel: int = 7) -> jnp.ndarray:
+                      smooth_kernel: int = None) -> jnp.ndarray:
     """Splat per-vertex semantic codes into a ``res^3`` volume.
 
     Args:
@@ -50,11 +52,18 @@ def voxelize_semantic(verts: jnp.ndarray, codes: jnp.ndarray,
       codes: ``[V, 3]`` or ``[B, V, 3]`` semantic vertex codes.
       res: volume resolution (128 in the reference).
       sigma: gaussian splat stddev in [-1,1] units (0.05 reference).
-      smooth_kernel: box-smooth size applied after splatting (7 reference).
+      smooth_kernel: box-smooth size; default derives from sigma so the
+        total splat spread (trilinear ~0.4 cell + box k/sqrt(12) cells)
+        matches the reference gaussian's sigma at ANY resolution — a
+        fixed kernel width only tracks sigma at one res.
 
     Returns: ``[B, res, res, res, 3]`` volume indexed [z, y, x]
       (matching the reference's bzyxc -> bcdhw permute at voxelize.py:137).
     """
+    if smooth_kernel is None:
+        sig_cells = sigma * (res - 1) / 2.0
+        k2 = max(12.0 * (sig_cells * sig_cells - 0.16) + 1.0, 1.0)
+        smooth_kernel = max(int(round(np.sqrt(k2))) | 1, 1)
     B, V, _ = verts.shape
     if codes.ndim == 2:
         codes = jnp.broadcast_to(codes[None], (B, V, codes.shape[-1]))

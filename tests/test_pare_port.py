@@ -10,6 +10,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow
+
 
 def _setup(width=16, stage_modules=(1, 2, 2), img=64, seed=0):
     import jax

@@ -13,6 +13,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow
+
 
 def _setup(width=32, layers=(2, 2, 2, 2), subdiv=3, seed=0):
     import jax
