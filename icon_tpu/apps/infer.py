@@ -160,7 +160,8 @@ def main():
         # --- implicit reconstruction ---
         features = net.apply(variables, in_t, False, method=net.filter)
         if cfg.net.prior_type == "icon":
-            smpl_feat = _icon_feats(smpl_verts, body_faces, calib[0])
+            smpl_feat = _icon_feats(smpl_verts, body_faces, calib[0],
+                                    lattice_res=eng.resolutions[-1])
         elif cfg.net.prior_type == "pamir":
             smpl_feat = _pamir_feats(smpl_verts, body, fit_params, scale,
                                      calib[0])
@@ -252,7 +253,7 @@ def _init_variables(net, image, body, body_faces, args):
     return variables
 
 
-def _icon_feats(smpl_verts, body_faces, calib):
+def _icon_feats(smpl_verts, body_faces, calib, lattice_res=None):
     """SMPL-local features in calib space (reference compute_vis_cmap,
     apps/ICON.py:317-333)."""
     import jax.numpy as jnp
@@ -288,7 +289,31 @@ def _icon_feats(smpl_verts, body_faces, calib):
                                  smpl_verts.shape[0])
     _rb, _rg = build_ray_bins(np.asarray(v_cal),
                               np.asarray(body_faces))
+    extra = {}
+    if lattice_res is not None:
+        # demo calib is axis-aligned ortho, so engine queries project onto
+        # the recon lattice in calib space: rasterize per-column crossings
+        # once (the serving sign path; point_body_features prefers it)
+        from icon_tpu.ops.sdf_fast import (build_column_bins,
+                                           build_crossing_columns_blocked)
+        import jax
+        cxn = np.linspace(-1.0, 1.0, lattice_res, dtype=np.float32)
+        cyn = np.linspace(1.0, -1.0, lattice_res, dtype=np.float32)
+        cb, cm = build_column_bins(np.asarray(v_cal),
+                                   np.asarray(body_faces), cxn, cyn)
+        cz, _cnt = jax.jit(build_crossing_columns_blocked,
+                           static_argnames=("max_cross", "G"))(
+            jnp.asarray(v_cal), jnp.asarray(body_faces), jnp.asarray(cb),
+            jnp.asarray(cm), jnp.asarray(cxn), jnp.asarray(cyn))
+        h = (lattice_res - 1) / 2.0
+        extra = {
+            "smpl_cross_z": cz,
+            "smpl_cross_meta": jnp.asarray(
+                [-1.0, 1.0, h, -h, float(lattice_res),
+                 float(lattice_res)], jnp.float32),
+        }
     return {
+        **extra,
         "smpl_verts": v_cal[None],
         "smpl_faces": jnp.asarray(body_faces),
         "smpl_cmap": cmap[None],

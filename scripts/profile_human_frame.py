@@ -25,6 +25,14 @@ res = reconstruction_resolutions(256)
 eng = ReconEngine(res, faster=True, auto_budget=True, auto_headroom=1.3)
 smpl_feat = {k: batch[k] for k in ("smpl_verts","smpl_faces","smpl_cmap","smpl_vis")}
 smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(np.asarray(batch["smpl_faces"]), batch["smpl_verts"].shape[1]))
+from icon_tpu.ops.sdf_fast import build_column_bins, build_crossing_columns_blocked
+_cx = np.linspace(-1.0, 1.0, 257, dtype=np.float32)
+_cy = np.linspace(1.0, -1.0, 257, dtype=np.float32)
+_cb, _cm = build_column_bins(np.asarray(batch["smpl_verts"][0]), np.asarray(batch["smpl_faces"]), _cx, _cy)
+_cb, _cm = jnp.asarray(_cb), jnp.asarray(_cm)
+_cxj, _cyj = jnp.asarray(_cx), jnp.asarray(_cy)
+columns_jit = jax.jit(lambda v: build_crossing_columns_blocked(v, smpl_feat["smpl_faces"], _cb, _cm, _cxj, _cyj))
+smpl_feat["smpl_cross_meta"] = jnp.asarray([-1.0, 1.0, 128.0, -128.0, 257.0, 257.0], jnp.float32)
 filter_jit = jax.jit(lambda v,t: net.apply(v,t,train=False,method=net.filter))
 in_t = {k: batch[k] for k in ("image","normal_F","normal_B")}
 features = filter_jit(variables, in_t)
@@ -38,22 +46,27 @@ march_jit = lambda occ, coarse: marcher(occ, coarse_occ=coarse)
 
 def sync(x): jax.block_until_ready(x)
 for _ in range(2):
+    smpl_feat["smpl_cross_z"] = columns_jit(smpl_feat["smpl_verts"][0])[0]
     f = filter_jit(variables, in_t); sync(f)
     occ, stats = eng(query_fn, jit_levels=True); sync(occ)
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_tris)
     packed, nv, nt = pack_mesh(mesh); v, fc = unpack_mesh(packed, nv, nt)
 
 for it in range(3):
+    tc0=time.perf_counter()
+    cz = columns_jit(smpl_feat["smpl_verts"][0])[0]; sync(cz)
+    smpl_feat["smpl_cross_z"] = cz
     t0=time.perf_counter(); f=filter_jit(variables,in_t); sync(f); t1=time.perf_counter()
     occ, stats = eng(query_fn, jit_levels=True); sync(occ); t2=time.perf_counter()
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.faces); t3=time.perf_counter()
     packed, nv, nt = pack_mesh(mesh); sync(packed); t35=time.perf_counter()
     v, fc = unpack_mesh(packed, nv, nt); t4=time.perf_counter()
-    print(f"filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-t0:.3f}  ntris {nt} nverts {nv}")
+    print(f"columns {t0-tc0:.3f}  filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-tc0:.3f}  ntris {nt} nverts {nv}")
 print("levels:", {k:int(vv) for k,vv in stats.items() if k.endswith("_points")}, "buckets:", [eng._bucket(l) for l in (1,2)])
 
 # pipelined throughput: enqueue next frame before blocking on fetch
 def compute():
+    smpl_feat["smpl_cross_z"] = columns_jit(smpl_feat["smpl_verts"][0])[0]
     f = filter_jit(variables, in_t)
     occ, stats = eng(query_fn, jit_levels=True)
     mesh = march_jit(occ, stats["coarse_occ"])

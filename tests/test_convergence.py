@@ -81,7 +81,9 @@ def test_overfit_convergence(overfit_setup):
     step_fn = jax.jit(train_step)
     losses = []
     # resample the overfit view every 40 steps (fresh points, same subject)
-    for i in range(440):
+    # (600 steps: the parity-label switch in r3 shifted the loss curve a
+    # touch slower than the old winding labels; the 3.3x-drop bar stays)
+    for i in range(600):
         if i % 40 == 0:
             dataset.set_epoch(i)
             batch = collate(dataset[0])
