@@ -21,10 +21,10 @@ and its SMPL sdf feature carries the reference's exact ``check_sign``
 ray-parity sign: every timed frame re-rasterizes the body into per-column
 crossing depths (build_crossing_columns_blocked, ~15 ms at 257^2 on the
 bench body, overflow-policed) and each engine query signs with one
-[max_cross] row gather. Measured r3: 0.40 s/image sequential, 2.36
-images/s pipelined, engine-only 11.8 fps — exactness costs ~0 vs the old
-pseudo-normal heuristic (which mislabeled 18-22% of near-surface samples
-on posed bodies).
+[max_cross] row gather. Measured r3: 0.37 s/image sequential, 2.54
+images/s pipelined, engine-only 18.4 fps (2.8x the reference's 6.56) —
+exactness costs ~0 vs the old pseudo-normal heuristic (which mislabeled
+18-22% of near-surface samples on posed bodies).
 
 The headline value is steady-state serving throughput with a 2-deep
 pipeline (frame i+1's device compute enqueued before blocking on frame i's
