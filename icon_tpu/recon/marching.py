@@ -95,6 +95,40 @@ def _build_tet_tables():
 _SEL_A, _SEL_B, _TRI_VALID = _build_tet_tables()
 
 
+def _build_combined_tables():
+    """Fold (tet, case) into one 96-way axis so the per-cell table stage is
+    plain [NC, 96] @ [96, .] MXU matmuls.
+
+    The earlier formulation materialized corner-selector tensors
+    ``Wa/Wb [NC, 36, 8]`` whose trailing 8-wide axis the TPU layout pads to
+    128 lanes — ~16x the useful HBM traffic, measured as ~135 ms of the
+    227 ms marching pass at 256^3. Here every derived quantity gets its own
+    precomputed [96, 36] table (e96 = tet*16 + case, w36 = tet*6 + slot):
+    corner offsets Ta/Tb per coordinate, corner one-hots VA/VB (contracted
+    against the cell's 8 occupancy values as an outer-product matmul), and
+    the triangle-valid mask TV [96, 12]."""
+    A = _SEL_A.reshape(6, 16, 6, 8)          # [t, case, w6, corner]
+    B = _SEL_B.reshape(6, 16, 6, 8)
+    offs = _CORNER_OFF.astype(np.float32)
+    Ta = np.zeros((96, 36, 3), np.float32)
+    Tb = np.zeros((96, 36, 3), np.float32)
+    VA = np.zeros((96, 36, 8), np.float32)
+    VB = np.zeros((96, 36, 8), np.float32)
+    TV = np.zeros((96, 12), np.float32)
+    for t in range(6):
+        for case in range(16):
+            e = t * 16 + case
+            Ta[e, t * 6:(t + 1) * 6] = A[t, case] @ offs
+            Tb[e, t * 6:(t + 1) * 6] = B[t, case] @ offs
+            VA[e, t * 6:(t + 1) * 6] = A[t, case]
+            VB[e, t * 6:(t + 1) * 6] = B[t, case]
+            TV[e, t * 2:(t + 1) * 2] = _TRI_VALID[t, case]
+    return Ta, Tb, VA, VB, TV
+
+
+_T_A, _T_B, _VAL_A, _VAL_B, _TV96 = _build_combined_tables()
+
+
 def _compact_indices(mask_flat: jnp.ndarray, budget: int):
     """Pack indices of true entries into a fixed-size buffer (first `budget`
     in linear order) via top_k over index keys — 2.2x faster than the
@@ -206,29 +240,32 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     cvals = occ_flat[lin]                               # [NC, 8]
     cbits = (cvals > iso).astype(jnp.int32)
 
-    # ---- 2. dense per-cell table application (one-hot matmuls) ------------
+    # ---- 2. dense per-cell table application (combined-one-hot matmuls) ---
+    # e96 = tet*16 + case; the 96-hot row has exactly one 1 per tet, so
+    # every per-slot quantity is one [NC, 96] @ [96, 36] MXU matmul (see
+    # _build_combined_tables for why no [NC, 36, 8] tensors appear here).
     tet_bits = cbits[:, _TETS]                          # [NC, 6, 4]
     case = (tet_bits * jnp.array([1, 2, 4, 8])).sum(-1)  # [NC, 6]
-    onehot = jax.nn.one_hot(case, 16, dtype=dt)         # [NC, 6, 16]
+    e96 = case + 16 * jnp.arange(6)[None]
+    onehot96 = sum(jax.nn.one_hot(e96[:, t], 96, dtype=dt)
+                   for t in range(6))                   # [NC, 96]
 
-    sel_a = jnp.asarray(_SEL_A.reshape(6, 16, 48))      # 2*3*8 = 48
-    sel_b = jnp.asarray(_SEL_B.reshape(6, 16, 48))
-    # W*: [NC, 6, 48] -> [NC, 36, 8]  (vertex-slot axis = tet*6 + k*3 + j)
-    Wa = jnp.einsum("nte,tew->ntw", onehot, sel_a,
-                    preferred_element_type=dt).reshape(-1, 36, 8)
-    Wb = jnp.einsum("nte,tew->ntw", onehot, sel_b,
-                    preferred_element_type=dt).reshape(-1, 36, 8)
+    ta = jnp.asarray(_T_A)                              # [96, 36, 3]
+    tb = jnp.asarray(_T_B)
+    ax = onehot96 @ ta[..., 0]
+    ay = onehot96 @ ta[..., 1]
+    az = onehot96 @ ta[..., 2]
+    bx = onehot96 @ tb[..., 0]
+    by = onehot96 @ tb[..., 1]
+    bz = onehot96 @ tb[..., 2]
 
-    va = jnp.einsum("nsc,nc->ns", Wa, cvals)            # [NC, 36]
-    vb = jnp.einsum("nsc,nc->ns", Wb, cvals)
-
-    offs = jnp.asarray(_CORNER_OFF.astype(np.float32))  # [8, 3]
-    ax = Wa @ offs[:, 0]
-    ay = Wa @ offs[:, 1]
-    az = Wa @ offs[:, 2]
-    bx = Wb @ offs[:, 0]
-    by = Wb @ offs[:, 1]
-    bz = Wb @ offs[:, 2]
+    # corner values: contract the (96-hot x 8 cell corners) outer product
+    # against the corner one-hot tables in a single matmul each
+    outer = (onehot96[:, :, None] * cvals[:, None, :]).reshape(-1, 96 * 8)
+    va = outer @ jnp.asarray(
+        _VAL_A.transpose(0, 2, 1).reshape(96 * 8, 36))  # [NC, 36]
+    vb = outer @ jnp.asarray(
+        _VAL_B.transpose(0, 2, 1).reshape(96 * 8, 36))
 
     denom = vb - va
     t = jnp.where(jnp.abs(denom) < 1e-12, 0.5, (iso - va) / denom)
@@ -241,13 +278,13 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     # exact lattice-edge id per vertex slot (for dedup): every MT vertex lies
     # on the edge (corner_a, corner_b) of its cell; global id =
     # lattice_vertex_id(min end) * 8 + direction code (dx + 2dy + 4dz).
-    ca_off_x = Wa @ offs[:, 0]
-    ga_x = cx[:, None] + ca_off_x.astype(jnp.int32)
-    ga_y = cy[:, None] + (Wa @ offs[:, 1]).astype(jnp.int32)
-    ga_z = cz[:, None] + (Wa @ offs[:, 2]).astype(jnp.int32)
-    gb_x = cx[:, None] + (Wb @ offs[:, 0]).astype(jnp.int32)
-    gb_y = cy[:, None] + (Wb @ offs[:, 1]).astype(jnp.int32)
-    gb_z = cz[:, None] + (Wb @ offs[:, 2]).astype(jnp.int32)
+    # ax..bz are exact {0, 1} corner offsets, so they round-trip to ints.
+    ga_x = cx[:, None] + ax.astype(jnp.int32)
+    ga_y = cy[:, None] + ay.astype(jnp.int32)
+    ga_z = cz[:, None] + az.astype(jnp.int32)
+    gb_x = cx[:, None] + bx.astype(jnp.int32)
+    gb_y = cy[:, None] + by.astype(jnp.int32)
+    gb_z = cz[:, None] + bz.astype(jnp.int32)
     a_lin = (ga_z * H + ga_y) * W + ga_x
     b_lin = (gb_z * H + gb_y) * W + gb_x
     lo = jnp.minimum(a_lin, b_lin)
@@ -258,11 +295,9 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     edge_id = lo * 8 + dir_code                         # [NC, 36] int32
 
     # ---- 3. triangle validity + compaction ---------------------------------
-    valid_tbl = jnp.asarray(_TRI_VALID)                 # [6, 16, 2]
-    slot_valid = jnp.einsum("nte,tek->ntk", onehot,
-                            valid_tbl.astype(dt)) > 0.5  # [NC, 6, 2]
+    slot_valid = (onehot96 @ jnp.asarray(_TV96)) > 0.5   # [NC, 12]
     slot_valid = (slot_valid &
-                  alive_cells[:, None, None]).reshape(-1)  # [NC*12]
+                  alive_cells[:, None]).reshape(-1)      # [NC*12]
 
     tri_idx, n_tris, n_tris_total = _compact_indices(slot_valid, max_tris)
     tri_alive = jnp.arange(max_tris) < n_tris
