@@ -148,9 +148,13 @@ def main():
     # reconstruction (see module docstring for measured counts).
     from icon_tpu.utils.synthetic import clothed_human_occ
 
-    def query_fn(pts):
+    def query_fn(pts, cross_z):
+        # cross_z rides engine query_args (a REAL jit argument): a
+        # closure-captured tensor would be baked into the cached level
+        # executables at first trace and go stale when the body moves
+        smpl = dict(smpl_feat, smpl_cross_z=cross_z)
         preds = net.apply(variables, features, pts, batch["calib"],
-                          smpl_feat, False, method=net.query)[-1]
+                          smpl, False, method=net.query)[-1]
         body = clothed_human_occ(pts)[..., None]
         return preds * 1e-6 + body
 
@@ -164,8 +168,7 @@ def main():
         """Enqueue one frame's device work; returns the packed mesh."""
         filter_jit(variables, in_t)
         cz, _ = columns_jit(smpl_feat["smpl_verts"][0])
-        smpl_feat["smpl_cross_z"] = cz
-        occ, stats = eng(query_fn, jit_levels=True)
+        occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,))
         mesh = marcher(occ, coarse_occ=stats["coarse_occ"])
         return pack_mesh(mesh), mesh, stats
 
@@ -203,11 +206,12 @@ def main():
     # occupancy evaluation without meshing/transfer), amortized over a
     # back-to-back run so the tunnel's ~20 ms sync latency doesn't bill
     # the engine
-    occ, _ = eng(query_fn, jit_levels=True)      # warm
+    cz, _ = columns_jit(smpl_feat["smpl_verts"][0])
+    occ, _ = eng(query_fn, jit_levels=True, query_args=(cz,))   # warm
     jax.block_until_ready(occ)
     t0 = time.perf_counter()
     for _ in range(args.iters + 2):
-        occ, _ = eng(query_fn, jit_levels=True)
+        occ, _ = eng(query_fn, jit_levels=True, query_args=(cz,))
     jax.block_until_ready(occ)
     engine_fps = (args.iters + 2) / (time.perf_counter() - t0)
 

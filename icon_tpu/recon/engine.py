@@ -164,7 +164,7 @@ class ReconEngine:
     # compile; per-level executables compile in parallel-friendly chunks and
     # are reused across frames.
 
-    def _level0(self, query_fn):
+    def _level0(self, query_fn, query_args=()):
         r0 = self.resolutions[0]
         g = jnp.linspace(0.0, 1.0, r0)
         zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
@@ -174,7 +174,8 @@ class ReconEngine:
         if pad:
             pts01 = jnp.concatenate(
                 [pts01, jnp.zeros((1, pad, 3), pts01.dtype)], axis=1)
-        occ = query_fn(_grid_to_world(pts01))[:, :n].reshape(r0, r0, r0)
+        occ = query_fn(_grid_to_world(pts01),
+                       *query_args)[:, :n].reshape(r0, r0, r0)
         evaluated = jnp.ones((r0, r0, r0), bool)
         return occ, evaluated
 
@@ -182,7 +183,8 @@ class ReconEngine:
         return resize3d_trilinear_align_corners(
             occ[None, ..., None], (r, r, r))[0, ..., 0]
 
-    def _level_step(self, lv, occ, evaluated, query_fn, budget=None):
+    def _level_step(self, lv, occ, evaluated, query_fn, budget=None,
+                    query_args=()):
         r = self.resolutions[lv]
         occ_up = self._upsample(occ, r)
         valid = resize3d_trilinear_align_corners(
@@ -208,7 +210,8 @@ class ReconEngine:
             cy = (idx // r) % r
             cx = idx % r
             pts01 = jnp.stack([cx, cy, cz], -1).astype(jnp.float32) / (r - 1)
-            vals = query_fn(_grid_to_world(pts01[None]))[0, :, 0]
+            vals = query_fn(_grid_to_world(pts01[None]),
+                            *query_args)[0, :, 0]
             return vals
 
         vals = eval_at(idx, None)
@@ -260,13 +263,20 @@ class ReconEngine:
                 cur_idx, cur_vals, cur_alive = idx2, vals2, alive2
         return occ, evaluated, n_total, n_conflicts
 
-    def __call__(self, query_fn: Callable[[jnp.ndarray], jnp.ndarray],
-                 jit_levels: bool = False):
+    def __call__(self, query_fn: Callable[..., jnp.ndarray],
+                 jit_levels: bool = False, query_args: tuple = ()):
         """Returns (occ [R, R, R] float32 in [z, y, x] layout, stats dict).
 
         With ``jit_levels`` each level becomes its own cached executable
         (key: id-stable self + lv); pass False when the whole call is
         already inside an outer jit.
+
+        ``query_args``: per-frame tensors for ``query_fn(pts, *query_args)``,
+        passed through the cached executables as REAL jit arguments. Any
+        tensor a serving loop swaps between frames (per-body crossing
+        columns, refreshed image features) MUST ride here: values merely
+        captured in query_fn's closure are baked into the executable as
+        constants at first trace and silently go stale on later frames.
         """
         res = self.resolutions
         stats: Dict[str, jnp.ndarray] = {}
@@ -279,7 +289,8 @@ class ReconEngine:
                 self._jit_cache[cache_key] = jax.jit(fn)
             return self._jit_cache[cache_key]
 
-        occ, evaluated = wrap("l0", lambda: self._level0(query_fn))()
+        occ, evaluated = wrap("l0", lambda *qa: self._level0(
+            query_fn, qa))(*query_args)
 
         n_levels = len(res)
         for lv in range(1, n_levels):
@@ -294,9 +305,10 @@ class ReconEngine:
                 break
             budget = self._bucket(lv)
             step = wrap(("step", lv, budget),
-                        lambda o, e, lv=lv, b=budget: self._level_step(
-                            lv, o, e, query_fn, budget=b))
-            occ, evaluated, n_total, n_conf = step(occ, evaluated)
+                        lambda o, e, *qa, lv=lv, b=budget: self._level_step(
+                            lv, o, e, query_fn, budget=b, query_args=qa))
+            occ, evaluated, n_total, n_conf = step(occ, evaluated,
+                                                   *query_args)
             if self.auto_budget:
                 self._last_counts[lv] = n_total   # read lazily next frame
                 try:    # overlap the scalar d2h with remaining levels —

@@ -37,8 +37,9 @@ filter_jit = jax.jit(lambda v,t: net.apply(v,t,train=False,method=net.filter))
 in_t = {k: batch[k] for k in ("image","normal_F","normal_B")}
 features = filter_jit(variables, in_t)
 
-def query_fn(pts):
-    preds = net.apply(variables, features, pts, batch["calib"], smpl_feat, False, method=net.query)[-1]
+def query_fn(pts, cross_z):
+    smpl = dict(smpl_feat, smpl_cross_z=cross_z)
+    preds = net.apply(variables, features, pts, batch["calib"], smpl, False, method=net.query)[-1]
     return preds*1e-6 + clothed_human_occ(pts)[..., None]
 
 marcher = AutoMarcher(max_cells=1<<18, max_tris=1<<19, max_verts=1<<19, slice_one=True)
@@ -46,18 +47,17 @@ march_jit = lambda occ, coarse: marcher(occ, coarse_occ=coarse)
 
 def sync(x): jax.block_until_ready(x)
 for _ in range(2):
-    smpl_feat["smpl_cross_z"] = columns_jit(smpl_feat["smpl_verts"][0])[0]
+    cz = columns_jit(smpl_feat["smpl_verts"][0])[0]
     f = filter_jit(variables, in_t); sync(f)
-    occ, stats = eng(query_fn, jit_levels=True); sync(occ)
+    occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ)
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_tris)
     packed, nv, nt = pack_mesh(mesh); v, fc = unpack_mesh(packed, nv, nt)
 
 for it in range(3):
     tc0=time.perf_counter()
     cz = columns_jit(smpl_feat["smpl_verts"][0])[0]; sync(cz)
-    smpl_feat["smpl_cross_z"] = cz
     t0=time.perf_counter(); f=filter_jit(variables,in_t); sync(f); t1=time.perf_counter()
-    occ, stats = eng(query_fn, jit_levels=True); sync(occ); t2=time.perf_counter()
+    occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ); t2=time.perf_counter()
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.faces); t3=time.perf_counter()
     packed, nv, nt = pack_mesh(mesh); sync(packed); t35=time.perf_counter()
     v, fc = unpack_mesh(packed, nv, nt); t4=time.perf_counter()
@@ -66,9 +66,9 @@ print("levels:", {k:int(vv) for k,vv in stats.items() if k.endswith("_points")},
 
 # pipelined throughput: enqueue next frame before blocking on fetch
 def compute():
-    smpl_feat["smpl_cross_z"] = columns_jit(smpl_feat["smpl_verts"][0])[0]
+    cz = columns_jit(smpl_feat["smpl_verts"][0])[0]
     f = filter_jit(variables, in_t)
-    occ, stats = eng(query_fn, jit_levels=True)
+    occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,))
     mesh = march_jit(occ, stats["coarse_occ"])
     return pack_mesh(mesh)
 pending = compute()
@@ -81,10 +81,11 @@ dt = (time.perf_counter()-t0)/N
 print(f"pipelined: {dt:.3f} s/image  ({1/dt:.2f} images/s)")
 
 # amortized engine-only fps: 5 consecutive evals, one final sync
-occ, _ = eng(query_fn, jit_levels=True); sync(occ)
+cz = columns_jit(smpl_feat["smpl_verts"][0])[0]
+occ, _ = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ)
 t0 = time.perf_counter()
 for _ in range(5):
-    occ, _ = eng(query_fn, jit_levels=True)
+    occ, _ = eng(query_fn, jit_levels=True, query_args=(cz,))
 sync(occ)
 dt = (time.perf_counter()-t0)/5
 print(f"engine amortized: {dt:.3f} s ({1/dt:.2f} fps)")

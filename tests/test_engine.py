@@ -120,3 +120,28 @@ def test_auto_budget_shrinks_and_recovers():
     # overflow recovery: pretend last frame overflowed
     eng._last_counts[1] = jnp.asarray(10 ** 9, jnp.int32)
     assert eng._bucket(1) == b_default
+
+
+def test_query_args_not_baked_into_cached_executables():
+    """Per-frame tensors passed via ``query_args`` must flow through the
+    cached level executables as real arguments: a second call with a
+    different value has to change the field (a closure-captured tensor
+    would be baked in as a constant at first trace and silently go
+    stale)."""
+    import jax.numpy as jnp
+    from icon_tpu.recon.engine import ReconEngine
+
+    eng = ReconEngine((9, 17, 33), budgets=(2048, 4096))
+
+    def query_fn(pts, radius):
+        d = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        return (radius - d) * 4.0 + 0.5
+
+    r1 = jnp.asarray(0.5, jnp.float32)
+    occ1, _ = eng(query_fn, jit_levels=True, query_args=(r1,))
+    r2 = jnp.asarray(0.75, jnp.float32)
+    occ2, _ = eng(query_fn, jit_levels=True, query_args=(r2,))
+    inside1 = float((occ1 > 0.5).mean())
+    inside2 = float((occ2 > 0.5).mean())
+    # a 1.5x larger sphere occupies ~3.4x the volume
+    assert inside2 > 2.0 * inside1, (inside1, inside2)
