@@ -229,10 +229,14 @@ def _init_variables(net, image, body, body_faces, args):
     import jax.numpy as jnp
     from icon_tpu.training.checkpoints import (load_checkpoint,
                                                partial_warm_start)
+    # init at a tiny spatial size: conv/BN parameter shapes are
+    # size-agnostic, and tracing the full 512^2 forward just to create
+    # params costs a multi-minute cold compile on a tunneled device
+    small = jnp.zeros((1, 64, 64, image.shape[-1]), image.dtype)
     init_batch = {
-        "image": image[None],
-        "T_normal_F": jnp.zeros_like(image)[None],
-        "T_normal_B": jnp.zeros_like(image)[None],
+        "image": small,
+        "T_normal_F": small,
+        "T_normal_B": small,
         "sample": jnp.zeros((1, 8, 3)), "calib": jnp.eye(4)[None]}
     if net.cfg.net.prior_type == "icon":
         v0 = body.v_template
