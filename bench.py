@@ -181,6 +181,13 @@ def main():
     # times so the auto-budget buckets settle and their executables compile
     for _ in range(3):
         frame()
+    # police column-crossing overflow once (a z-stack deeper than
+    # max_cross would silently corrupt parity in those columns)
+    _, cnt = columns_jit(smpl_feat["smpl_verts"][0])
+    n_over = int((np.asarray(cnt) > 32).sum())
+    if n_over:
+        print(f"WARNING: {n_over} columns exceed max_cross=32 crossings; "
+              "their parity is unreliable", file=sys.stderr)
 
     # (a) per-image latency: sequential, fully synchronized
     times = []

@@ -3,6 +3,7 @@ the conv primitives that must match for weight porting."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 import torch
 
@@ -75,6 +76,7 @@ def test_conv_transpose_matches_torch():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_normalnet_masking_and_unit_norm():
     net = NormalNet()
     img = RNG.randn(1, 32, 32, 3).astype(np.float32)
