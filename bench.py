@@ -84,7 +84,8 @@ def main():
                                  n_samples=64, subdiv=5)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    variables = net.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     resolutions = reconstruction_resolutions(args.res)
     # auto_budget: steady-state serving — per-level buffers sized from the

@@ -245,7 +245,8 @@ def _init_variables(net, image, body, body_faces, args):
     elif net.cfg.net.prior_type == "pamir":
         init_batch["voxel_verts"] = jnp.zeros((1, 8000, 3))
         init_batch["voxel_codes"] = jnp.zeros((8000, 3))
-    variables = net.init(jax.random.PRNGKey(0), init_batch, train=False)
+    variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
+        jax.random.PRNGKey(0), init_batch)
     import os.path as osp
     for ck, rename in ((args.ckpt, None),
                        (args.normal_ckpt, {"netG": "normal_filter"})):

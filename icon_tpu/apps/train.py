@@ -82,7 +82,8 @@ def main():
         if len(dataset) == 0:
             raise SystemExit(f"no test data under {cfg.dataset.root!r}")
         example = _collate_example(dataset[0])
-        variables = net.init(jax.random.PRNGKey(0), example, train=False)
+        variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
+            jax.random.PRNGKey(0), example)
         ckpt_dir = os.path.join(cfg.ckpt_dir, cfg.name)
         mgr = CheckpointManager(ckpt_dir)
         path = cfg.resume_path or mgr.best or mgr.latest

@@ -202,8 +202,9 @@ class PyMAFWrapper:
         self.faces = self.body.faces
         import jax.numpy as jnp
         dummy = jnp.zeros((1, 224, 224, 3))
-        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
-                                       train=False)
+        self.variables = jax.jit(
+            lambda k, x: self.net.init(k, x, train=False))(
+            jax.random.PRNGKey(0), dummy)
         self.random_init = not (ckpt and osp.exists(ckpt))
         if not self.random_init:
             from icon_tpu.models.pymaf.convert import load_pymaf_checkpoint
@@ -227,8 +228,9 @@ class PAREWrapper:
         self.net, self.body = build_pare()
         self.faces = self.body.faces
         dummy = jnp.zeros((1, 224, 224, 3))
-        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
-                                       train=False)
+        self.variables = jax.jit(
+            lambda k, x: self.net.init(k, x, train=False))(
+            jax.random.PRNGKey(0), dummy)
         self.random_init = not (ckpt and osp.exists(ckpt))
         if not self.random_init:
             from icon_tpu.models.pare.convert import load_pare_checkpoint
@@ -270,8 +272,9 @@ class HybrIKWrapper:
         self.net, self.body = build_hybrik()
         self.faces = self.body.faces
         dummy = jnp.zeros((1, 256, 256, 3))
-        self.variables = self.net.init(jax.random.PRNGKey(0), dummy,
-                                       train=False)
+        self.variables = jax.jit(
+            lambda k, x: self.net.init(k, x, train=False))(
+            jax.random.PRNGKey(0), dummy)
         self.random_init = not (ckpt and osp.exists(ckpt))
         if not self.random_init:
             from icon_tpu.models.hybrik.convert import load_hybrik_checkpoint

@@ -156,19 +156,23 @@ def refine_smpl_live(body_model: BodyModel,
         return (verts[0] + params["trans"][None]) * scale
 
     def predict_normals(verts):
-        T_nF, _ = render_normal(verts, faces_j, size=size, azimuth=0.0)
-        T_nB, _ = render_normal(verts, faces_j, size=size, azimuth=180.0)
+        # one rasterization per view covers the normal AND silhouette
+        # targets (render_normal_sil) — halves the differentiable-raster
+        # work in the fit graph
+        from icon_tpu.render.render import render_normal_sil
+        T_nF, _, silF = render_normal_sil(verts, faces_j, size=size,
+                                          azimuth=0.0)
+        T_nB, _, silB = render_normal_sil(verts, faces_j, size=size,
+                                          azimuth=180.0)
         in_t = {"image": image[None], "T_normal_F": T_nF[None],
                 "T_normal_B": T_nB[None]}
         nF, nB = normal_fn(in_t)
-        return T_nF, T_nB, jax.lax.stop_gradient(nF[0]), \
-            jax.lax.stop_gradient(nB[0])
+        return (T_nF, T_nB, silF, silB, jax.lax.stop_gradient(nF[0]),
+                jax.lax.stop_gradient(nB[0]))
 
     def loss_fn(params):
         verts = forward_verts(params)
-        T_nF, T_nB, nF, nB = predict_normals(verts)
-        silF = render_silhouette(verts, faces_j, size=size, azimuth=0.0)
-        silB = render_silhouette(verts, faces_j, size=size, azimuth=180.0)
+        T_nF, T_nB, silF, silB, nF, nB = predict_normals(verts)
 
         lossN = jnp.mean(jnp.abs(T_nF - nF)) + jnp.mean(jnp.abs(T_nB - nB))
         # goal masks from the predicted normals (non-background pixels)

@@ -466,8 +466,10 @@ class PixieEstimator:
         self.body = get_smpl_model("smplx", "neutral")
         if variables is None:
             dummy = jnp.zeros((1, 224, 224, 3))
-            variables = self.net.init(jax.random.PRNGKey(rng_seed), dummy,
-                                      dummy, dummy, dummy, train=False)
+            variables = jax.jit(
+                lambda k, d: self.net.init(k, d, d, d, d,
+                                           train=False))(
+                jax.random.PRNGKey(rng_seed), dummy)
         self.variables = variables
 
         def _coarse(v, img):

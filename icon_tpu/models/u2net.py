@@ -203,7 +203,8 @@ def build_segmenter(ckpt_path: str = "", lite: bool = True):
     checkpoint is installed (data/HPS/u2net.pth)."""
     net = U2NET(config=U2NET_LITE if lite else U2NET_FULL)
     x0 = jnp.zeros((1, 320, 320, 3))
-    variables = net.init(jax.random.PRNGKey(0), x0, train=False)
+    variables = jax.jit(lambda k, x: net.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x0)
     import os.path as osp
     if ckpt_path and osp.exists(ckpt_path):
         from icon_tpu.utils.torch_port import load_torch_state

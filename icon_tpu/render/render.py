@@ -35,6 +35,21 @@ def render_normal(verts: jnp.ndarray, faces: jnp.ndarray,
     return out.attr, out.mask
 
 
+def render_normal_sil(verts: jnp.ndarray, faces: jnp.ndarray,
+                      size: int = 512, azimuth: float = 0.0,
+                      K: int = 256):
+    """One rasterization for both fitting targets: (normal [H,W,3],
+    mask [H,W], soft silhouette [H,W]). The SMPL fit loss needs normals
+    AND silhouettes per view; rasterizing once halves the differentiable
+    raster work (and its grad graph) in the jitted fit step."""
+    from icon_tpu.render.camera import view_matrix
+    vn = vertex_normals(verts[None], faces)[0]
+    R = jnp.asarray(view_matrix(azimuth))
+    ndc = verts_to_ndc(verts, azimuth)
+    out = rasterize(ndc, faces, vn @ R.T, H=size, W=size, K=K)
+    return out.attr, out.mask, out.silhouette
+
+
 def render_silhouette(verts: jnp.ndarray, faces: jnp.ndarray,
                       size: int = 512, azimuth: float = 0.0,
                       K: int = 256) -> jnp.ndarray:

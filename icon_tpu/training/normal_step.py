@@ -38,7 +38,8 @@ def create_normal_state(net: NormalNet, rng, example_batch,
                         lr: float = 2e-4,
                         schedule=(), gamma: float = 0.1,
                         steps_per_epoch: int = 1000) -> NormalTrainState:
-    variables = net.init(rng, example_batch, train=True)
+    variables = jax.jit(lambda r, b: net.init(r, b, train=True))(
+        rng, example_batch)
     boundaries = {int(e) * steps_per_epoch: gamma for e in schedule}
     sched = optax.piecewise_constant_schedule(lr, boundaries)
     tx = optax.adam(sched)

@@ -47,7 +47,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000,
 
 def create_train_state(net, rng, example_batch, cfg: Config,
                        steps_per_epoch: int = 1000) -> TrainState:
-    variables = net.init(rng, example_batch, train=True)
+    # jit: eager flax init dispatches hundreds of tiny ops, each a
+    # separate XLA compile on a tunneled device (minutes of cold start)
+    variables = jax.jit(lambda r, b: net.init(r, b, train=True))(
+        rng, example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = make_optimizer(cfg, steps_per_epoch)
