@@ -120,7 +120,8 @@ def refine_smpl_live(body_model: BodyModel,
                      size: int = 512,
                      patience: int = 5,
                      w_normal: float = 1.0,
-                     w_sil: float = 1.0):
+                     w_sil: float = 1.0,
+                     raster_k: int = 96):
     """The faithful SMPL body-fitting loop (reference apps/infer.py:123-273):
 
     - pose/orient are optimized directly as rotation matrices
@@ -155,24 +156,33 @@ def refine_smpl_live(body_model: BodyModel,
             pose2rot=False)
         return (verts[0] + params["trans"][None]) * scale
 
-    def predict_normals(verts):
+    @jax.jit
+    def predict(params):
+        """Normal-net targets for one iteration (fwd only). Kept in its
+        OWN executable: fusing the net forward into the gradient step made
+        XLA's compile superlinear — the monolithic step took 28 min to
+        compile on v5e while its pieces take ~40 s total (raster fwd+grad
+        11.6 s, net fwd 30.9 s, measured)."""
+        verts = forward_verts(params)
+        from icon_tpu.render.render import render_normal_sil
+        T_nF, _, _ = render_normal_sil(verts, faces_j, size=size,
+                                       azimuth=0.0, K=raster_k)
+        T_nB, _, _ = render_normal_sil(verts, faces_j, size=size,
+                                       azimuth=180.0, K=raster_k)
+        nF, nB = normal_fn({"image": image[None], "T_normal_F": T_nF[None],
+                            "T_normal_B": T_nB[None]})
+        return nF[0], nB[0]
+
+    def loss_fn(params, nF, nB):
+        verts = forward_verts(params)
         # one rasterization per view covers the normal AND silhouette
-        # targets (render_normal_sil) — halves the differentiable-raster
-        # work in the fit graph
+        # terms (render_normal_sil); nF/nB arrive as constants from
+        # ``predict`` so no gradient flows into the normal net
         from icon_tpu.render.render import render_normal_sil
         T_nF, _, silF = render_normal_sil(verts, faces_j, size=size,
-                                          azimuth=0.0)
+                                          azimuth=0.0, K=raster_k)
         T_nB, _, silB = render_normal_sil(verts, faces_j, size=size,
-                                          azimuth=180.0)
-        in_t = {"image": image[None], "T_normal_F": T_nF[None],
-                "T_normal_B": T_nB[None]}
-        nF, nB = normal_fn(in_t)
-        return (T_nF, T_nB, silF, silB, jax.lax.stop_gradient(nF[0]),
-                jax.lax.stop_gradient(nB[0]))
-
-    def loss_fn(params):
-        verts = forward_verts(params)
-        T_nF, T_nB, silF, silB, nF, nB = predict_normals(verts)
+                                          azimuth=180.0, K=raster_k)
 
         lossN = jnp.mean(jnp.abs(T_nF - nF)) + jnp.mean(jnp.abs(T_nB - nB))
         # goal masks from the predicted normals (non-background pixels)
@@ -180,25 +190,25 @@ def refine_smpl_live(body_model: BodyModel,
         gtB = (jnp.sum(jnp.abs(nB), axis=-1) > 1e-6).astype(jnp.float32)
         lossS = 0.5 * (jnp.mean(jnp.abs(silF - gtF)) +
                        jnp.mean(jnp.abs(silB - gtB)))
-        return w_normal * lossN + w_sil * lossS, (nF, nB)
+        return w_normal * lossN + w_sil * lossS
 
     @jax.jit
-    def step(params, opt_state):
-        (loss, aux), grads = jax.value_and_grad(loss_fn,
-                                                has_aux=True)(params)
+    def step(params, opt_state, nF, nB):
+        loss, grads = jax.value_and_grad(loss_fn)(params, nF, nB)
         updates, opt_state = tx.update(grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        return params, opt_state, loss
 
     params = {k: jnp.asarray(v) for k, v in init.items()}
     opt_state = tx.init(params)
     losses = []
-    aux = (None, None)
+    nF = nB = None
     for _ in range(iters):
-        params, opt_state, loss, aux = step(params, opt_state)
+        nF, nB = predict(params)
+        params, opt_state, loss = step(params, opt_state, nF, nB)
         losses.append(float(loss))
-    verts = forward_verts(params)
-    return np.asarray(verts), aux, losses, params
+    verts = jax.jit(forward_verts)(params)
+    return np.asarray(verts), (nF, nB), losses, params
 
 
 def refine_cloth(verts: np.ndarray, faces: np.ndarray,
