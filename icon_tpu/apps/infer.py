@@ -122,7 +122,10 @@ def main():
             scale = float(data["scale"])
 
         if variables is None:
+            import time as _time
+            _t0 = _time.perf_counter()
             variables = _init_variables(net, image, body, body_faces, args)
+            print(f"  init: {_time.perf_counter() - _t0:.1f}s", flush=True)
 
         def normal_fn(in_t):
             return net.apply(variables, in_t, False,
@@ -131,11 +134,14 @@ def main():
         # --- SMPL body fitting ---
         fit_params = init
         if args.loop_smpl > 0 and cfg.net.prior_type != "pifu":
+            import time as _time
+            _t0 = _time.perf_counter()
             smpl_verts, (nmlF, nmlB), losses, fit_params = refine_smpl_live(
                 body, body_faces, image, init, normal_fn, scale,
                 iters=args.loop_smpl, patience=args.patience,
                 size=args.img_size)
-            print(f"  smpl fit: {losses[0]:.4f} -> {losses[-1]:.4f}")
+            print(f"  smpl fit: {losses[0]:.4f} -> {losses[-1]:.4f} "
+                  f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
             smpl_verts = jnp.asarray(smpl_verts)
             nmlF, nmlB = jnp.asarray(nmlF)[None], jnp.asarray(nmlB)[None]
         else:

@@ -156,21 +156,28 @@ def refine_smpl_live(body_model: BodyModel,
             pose2rot=False)
         return (verts[0] + params["trans"][None]) * scale
 
+    # Three SMALL executables per iteration instead of one monolith:
+    # fusing the normal-net forward with the raster gradients made XLA's
+    # compile superlinear (the fused step took 28 min to compile on v5e
+    # while the pieces take ~40 s total: raster fwd+grad 11.6 s, net fwd
+    # 30.9 s, measured via jax_log_compiles).
     @jax.jit
-    def predict(params):
-        """Normal-net targets for one iteration (fwd only). Kept in its
-        OWN executable: fusing the net forward into the gradient step made
-        XLA's compile superlinear — the monolithic step took 28 min to
-        compile on v5e while its pieces take ~40 s total (raster fwd+grad
-        11.6 s, net fwd 30.9 s, measured)."""
+    def render_targets(params):
         verts = forward_verts(params)
         from icon_tpu.render.render import render_normal_sil
         T_nF, _, _ = render_normal_sil(verts, faces_j, size=size,
                                        azimuth=0.0, K=raster_k)
         T_nB, _, _ = render_normal_sil(verts, faces_j, size=size,
                                        azimuth=180.0, K=raster_k)
-        nF, nB = normal_fn({"image": image[None], "T_normal_F": T_nF[None],
-                            "T_normal_B": T_nB[None]})
+        return T_nF, T_nB
+
+    normal_jit = jax.jit(lambda t: normal_fn(t))
+
+    def predict(params):
+        """Normal-net targets for one iteration (fwd only)."""
+        T_nF, T_nB = render_targets(params)
+        nF, nB = normal_jit({"image": image[None], "T_normal_F": T_nF[None],
+                             "T_normal_B": T_nB[None]})
         return nF[0], nB[0]
 
     def loss_fn(params, nF, nB):
