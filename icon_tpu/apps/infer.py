@@ -245,8 +245,19 @@ def _init_variables(net, image, body, body_faces, args):
         "T_normal_B": small,
         "sample": jnp.zeros((1, 8, 3)), "calib": jnp.eye(4)[None]}
     if net.cfg.net.prior_type == "icon":
-        v0 = body.v_template
-        init_batch.update(_icon_feats(v0, body_faces, jnp.eye(4)))
+        # zero placeholders with the right SHAPES: init only traces, and
+        # computing real _icon_feats here dispatched ~60 eager ops whose
+        # individual compiles bloat the remote compile service before the
+        # big network modules get their turn
+        V = int(body.v_template.shape[0])
+        F = int(np.asarray(body_faces).shape[0])
+        init_batch.update({
+            "smpl_verts": jnp.zeros((1, V, 3)),
+            "smpl_faces": jnp.zeros((F, 3), jnp.int32),
+            "smpl_cmap": jnp.zeros((1, V, 3)),
+            "smpl_vis": jnp.zeros((1, V, 1)),
+            "smpl_vf_table": jnp.zeros((V, 8), jnp.int32),
+        })
         init_batch["sample"] = jnp.zeros((1, 8, 3))
     elif net.cfg.net.prior_type == "pamir":
         init_batch["voxel_verts"] = jnp.zeros((1, 8000, 3))
