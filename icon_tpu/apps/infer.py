@@ -265,9 +265,33 @@ def _init_variables(net, image, body, body_faces, args):
     variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
         jax.random.PRNGKey(0), init_batch)
     import os.path as osp
+    # published torch checkpoints (icon-filter.ckpt / normal.ckpt ...) are
+    # single FILES; our own orbax checkpoints are DIRECTORIES. Torch files
+    # go through the twin-proven converter (utils/torch_port.py:
+    # port_icon_checkpoint; reference lib/dataset/mesh_util.py:187-237 +
+    # the netG->normal_filter rename of apps/train.py:201-218).
+    torch_geo = args.ckpt if args.ckpt and osp.isfile(args.ckpt) else None
+    torch_nrm = (args.normal_ckpt
+                 if args.normal_ckpt and osp.isfile(args.normal_ckpt)
+                 else None)
+    if torch_geo or torch_nrm:
+        from icon_tpu.utils.torch_port import (load_torch_state,
+                                               port_icon_checkpoint)
+        params, stats, log = port_icon_checkpoint(
+            variables["params"],
+            icon_state=load_torch_state(torch_geo) if torch_geo else None,
+            normal_state=load_torch_state(torch_nrm) if torch_nrm else None)
+        variables = dict(variables)
+        variables["params"] = params
+        if stats:
+            variables["batch_stats"] = partial_warm_start(
+                variables.get("batch_stats", {}), stats)
+        print(f"  ported {len(log)} torch tensors "
+              f"({'geometry ' if torch_geo else ''}"
+              f"{'normal' if torch_nrm else ''})", flush=True)
     for ck, rename in ((args.ckpt, None),
                        (args.normal_ckpt, {"netG": "normal_filter"})):
-        if ck and osp.exists(ck):
+        if ck and osp.isdir(ck):
             loaded = load_checkpoint(ck)
             variables = dict(variables)
             variables["params"] = partial_warm_start(

@@ -23,12 +23,14 @@ def make_norm(norm: str, name: str) -> Optional[nn.Module]:
     none     -> None
     """
     if norm == "group":
-        return nn.GroupNorm(num_groups=32, name=name)
+        # epsilon matches torch nn.GroupNorm (1e-5) so published reference
+        # weights reproduce bit-comparable activations (flax default is 1e-6)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
     if norm == "batch":
         return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
     if norm == "instance":
         return nn.GroupNorm(group_size=1, num_groups=None, use_bias=False,
-                            use_scale=False, name=name)
+                            use_scale=False, epsilon=1e-5, name=name)
     if norm in ("none", None):
         return None
     raise ValueError(f"unknown norm {norm!r}")
