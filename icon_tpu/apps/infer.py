@@ -70,7 +70,7 @@ def main():
     from icon_tpu.render.render import query_color, render_normal
     from icon_tpu.training.checkpoints import (load_checkpoint,
                                                partial_warm_start)
-    from icon_tpu.utils.io import clean_mesh, save_gif, save_obj
+    from icon_tpu.utils.io import clean_mesh, save_obj
 
     cfg = load_config(args.config_file).replace(test_mode=False,
                                                 mcube_res=args.mcube_res)
@@ -139,7 +139,7 @@ def main():
             smpl_verts, (nmlF, nmlB), losses, fit_params = refine_smpl_live(
                 body, body_faces, image, init, normal_fn, scale,
                 iters=args.loop_smpl, patience=args.patience,
-                size=args.img_size)
+                size=args.img_size, mask=jnp.asarray(data["mask"]))
             print(f"  smpl fit: {losses[0]:.4f} -> {losses[-1]:.4f} "
                   f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
             smpl_verts = jnp.asarray(smpl_verts)
@@ -197,6 +197,7 @@ def main():
             print(f"  remesh: {len(verts)} verts, {len(faces)} faces")
 
         # --- cloth refinement ---
+        recon_verts = verts                   # pre-refine copy for the video
         if args.loop_cloth > 0 and len(verts):
             refined_verts, closses = refine_cloth(
                 verts, faces, nmlF[0], nmlB[0], iters=args.loop_cloth,
@@ -208,25 +209,24 @@ def main():
 
         # --- vertex colors + garments + turntable ---
         if len(verts):
-            colors = np.asarray(query_color(
-                jnp.asarray(verts), jnp.asarray(faces),
-                jnp.asarray(data["image"])))
+            def colors_of(v):
+                return np.asarray(query_color(
+                    jnp.asarray(v), jnp.asarray(faces),
+                    jnp.asarray(data["image"])))
+            colors = colors_of(verts)
             save_obj(osp.join(args.out_dir, f"{name}_recon_color.obj"),
                      verts, faces, colors)
             if args.seg_dir is not None:
                 _extract_garments(args, name, verts, faces,
                                   np.asarray(smpl_verts), body_faces)
             if args.export_video:
-                frames = []
-                for az in range(0, 360, 10):
-                    img_n, m = render_normal(jnp.asarray(verts),
-                                             jnp.asarray(faces),
-                                             size=256, azimuth=float(az))
-                    frame = ((np.asarray(img_n) * 0.5 + 0.5) *
-                             np.asarray(m)[..., None] * 255)
-                    frames.append(frame.astype(np.uint8))
-                save_gif(osp.join(args.out_dir, f"{name}_turntable.gif"),
-                         frames)
+                _export_turntable_video(
+                    osp.join(args.out_dir, f"{name}_cloth.mp4"),
+                    np.asarray(data["image"]), np.asarray(nmlF[0]),
+                    [(recon_verts, colors_of(recon_verts)),
+                     (verts, colors)] if recon_verts is not verts
+                    else [(verts, colors)],
+                    faces)
     print("[infer] done")
 
 
@@ -419,6 +419,47 @@ def _pamir_feats(smpl_verts, body, fit_params, scale, calib):
     v_proj = project(jnp.asarray(verts)[None], jnp.asarray(calib)[None]) * 0.5
     return {"voxel_verts": v_proj.astype(jnp.float32),
             "voxel_codes": jnp.asarray(codes.astype(np.float32))}
+
+
+def _export_turntable_video(path, image, nmlF, meshes, faces,
+                            size=256, n_frames=360, fps=30):
+    """Colored-mesh rotation video (reference get_rendered_video,
+    lib/common/render.py:327-374): side panels (input photo, predicted
+    front normal — the reference's `[ori_image, rgb_norm]`), then each mesh
+    of ``meshes`` ([(verts, vertex_colors), ...], recon + refined) rotating
+    a full turn on gray, written as mp4 at 30 fps. One jitted raster
+    executable serves all frames; rotation is a host-side [V,3]@[3,3]."""
+    import math
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from icon_tpu.render.render import make_turntable_renderer
+    from icon_tpu.utils.io import save_video
+
+    panels = []
+    for img in (image, nmlF):
+        p = np.clip(np.asarray(img) * 0.5 + 0.5, 0.0, 1.0)
+        p8 = (p * 255).astype(np.uint8)
+        panels.append(np.asarray(Image.fromarray(p8).resize((size, size))))
+
+    faces = jnp.asarray(np.asarray(faces))
+    renderers = [make_turntable_renderer(faces, jnp.asarray(c), size=size,
+                                         K=128) for _, c in meshes]
+    frames = []
+    for i in range(n_frames):
+        a = math.radians(i * 360.0 / n_frames)
+        c_, s_ = math.cos(a), math.sin(a)
+        rot = np.array([[c_, 0.0, -s_], [0.0, 1.0, 0.0], [s_, 0.0, c_]],
+                       np.float32)
+        row = list(panels)
+        for (v, _), rend in zip(meshes, renderers):
+            v_rot = np.asarray(v, np.float32) @ rot.T
+            rgb = np.clip(np.asarray(rend(jnp.asarray(v_rot))), 0.0, 1.0)
+            row.append((rgb * 255).astype(np.uint8))
+        frames.append(np.concatenate(row, axis=1))
+    save_video(path, frames, fps=fps)
+    print(f"  video: {path} ({n_frames} frames)")
 
 
 def _extract_garments(args, name, verts, faces, smpl_verts, smpl_faces):

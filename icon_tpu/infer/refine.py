@@ -121,7 +121,8 @@ def refine_smpl_live(body_model: BodyModel,
                      patience: int = 5,
                      w_normal: float = 1.0,
                      w_sil: float = 1.0,
-                     raster_k: int = 96):
+                     raster_k: int = 96,
+                     mask: Optional[jnp.ndarray] = None):
     """The faithful SMPL body-fitting loop (reference apps/infer.py:123-273):
 
     - pose/orient are optimized directly as rotation matrices
@@ -192,9 +193,16 @@ def refine_smpl_live(body_model: BodyModel,
                                           azimuth=180.0, K=raster_k)
 
         lossN = jnp.mean(jnp.abs(T_nF - nF)) + jnp.mean(jnp.abs(T_nB - nB))
-        # goal masks from the predicted normals (non-background pixels)
-        gtF = (jnp.sum(jnp.abs(nF), axis=-1) > 1e-6).astype(jnp.float32)
-        gtB = (jnp.sum(jnp.abs(nB), axis=-1) > 1e-6).astype(jnp.float32)
+        # goal masks: the input matte when available, else the predicted
+        # normals' non-background support. The reference derives them from
+        # the predicted normals (infer.py:219-231) which its NormalNet masks
+        # by the image matte (NormalNet.py:93-97) — identical support; the
+        # explicit matte stays correct even if predictions were unmasked.
+        if mask is not None:
+            gtF = gtB = (mask > 0.5).astype(jnp.float32)
+        else:
+            gtF = (jnp.sum(jnp.abs(nF), axis=-1) > 1e-6).astype(jnp.float32)
+            gtB = (jnp.sum(jnp.abs(nB), axis=-1) > 1e-6).astype(jnp.float32)
         lossS = 0.5 * (jnp.mean(jnp.abs(silF - gtF)) +
                        jnp.mean(jnp.abs(silB - gtB)))
         return w_normal * lossN + w_sil * lossS

@@ -70,6 +70,38 @@ def render_depth(verts: jnp.ndarray, faces: jnp.ndarray,
     return out.depth, out.mask
 
 
+def render_color(verts: jnp.ndarray, faces: jnp.ndarray,
+                 colors: jnp.ndarray, size: int = 512,
+                 azimuth: float = 0.0, K: int = 256,
+                 bg: float = 0.5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vertex-colored render on a gray background (reference
+    get_rendered_video's clean_mesh shader, render.py:327-374 — there the
+    colors are (normal+1)/2; we pass query_color's RGB texture).
+    Returns (rgb [H,W,3] in [0,1], mask [H,W])."""
+    ndc = verts_to_ndc(verts, azimuth)
+    out = rasterize(ndc, faces, colors, H=size, W=size, K=K)
+    m = out.mask[..., None]
+    return out.attr * m + bg * (1.0 - m), out.mask
+
+
+def make_turntable_renderer(faces: jnp.ndarray, colors: jnp.ndarray,
+                            size: int = 512, K: int = 256, bg: float = 0.5):
+    """One jitted executable for every turntable frame: the azimuth enters
+    as a pre-rotated vertex array (a [V,3]@[3,3] host matmul), so 360
+    frames share a single compile instead of retracing per angle."""
+    faces = jnp.asarray(faces)
+    colors = jnp.asarray(colors)
+    flip = jnp.asarray(np.array([1.0, -1.0, -1.0], np.float32))
+
+    @jax.jit
+    def render(v_rot):
+        out = rasterize(v_rot * flip, faces, colors, H=size, W=size, K=K)
+        m = out.mask[..., None]
+        return out.attr * m + bg * (1.0 - m)
+
+    return render
+
+
 def query_color(verts: jnp.ndarray, faces: jnp.ndarray,
                 image: jnp.ndarray,
                 visibility: Optional[jnp.ndarray] = None) -> jnp.ndarray:
