@@ -84,18 +84,21 @@ def restore_state(state: Any, path: str) -> Any:
     target = {
         "step": np.asarray(state.step),
         "params": params_t,
-        "batch_stats": jax.device_get(state.batch_stats),
+        "batch_stats": jax.device_get(getattr(state, "batch_stats", {})),
         "opt_state": jax.device_get(state.opt_state),
     }
     loaded = load_checkpoint(path, target=target)
     # params may have been saved stripped (frozen scopes): merge name+shape
     params = partial_warm_start(state.params, loaded["params"])
-    return state.replace(
+    kwargs = dict(
         step=jnp.asarray(loaded["step"]),
         params=params,
-        batch_stats=loaded.get("batch_stats") or state.batch_stats,
         opt_state=jax.tree_util.tree_map(jnp.asarray,
                                          loaded["opt_state"]))
+    if hasattr(state, "batch_stats"):   # NormalTrainState has none
+        kwargs["batch_stats"] = (loaded.get("batch_stats")
+                                 or state.batch_stats)
+    return state.replace(**kwargs)
 
 
 class CheckpointManager:

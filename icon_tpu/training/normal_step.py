@@ -9,8 +9,9 @@ per-parameter); we keep that simpler form.
 Loss: 5 * SmoothL1(pred, gt) per side (NormalNet.get_norm_error,
 NormalNet.py:101-122). The reference adds a VGG perceptual term computed
 under ``torch.no_grad()`` — it contributes **no gradient** there, only a
-logged value; we expose it as an optional metric hook (off by default, as
-pretrained VGG weights are an external asset).
+loss *value* (which drives its val-loss checkpoint selection). When VGG19
+weights are installed (models/vgg.py), ``normal_eval_step`` adds the same
+term so val losses are comparable to the reference's.
 """
 
 from __future__ import annotations
@@ -65,3 +66,25 @@ def normal_train_step(state: NormalTrainState,
     return (state.replace(step=state.step + 1, params=params,
                           opt_state=opt_state),
             {"loss": loss, "loss_F": lF, "loss_B": lB})
+
+
+def normal_eval_step(state: NormalTrainState,
+                     batch: Dict[str, jnp.ndarray],
+                     vgg=None) -> Dict[str, jnp.ndarray]:
+    """Validation loss (reference Normal.py validation_step): per side
+    5*SmoothL1 (+ the no-grad VGG perceptual value when ``vgg`` is
+    ``(apply_fn, params)``)."""
+    nmlF, nmlB = state.apply_fn({"params": state.params}, batch, train=False)
+    lF = 5.0 * smooth_l1(nmlF, batch["normal_F"])
+    lB = 5.0 * smooth_l1(nmlB, batch["normal_B"])
+    metrics = {"loss_F": lF, "loss_B": lB}
+    if vgg is not None:
+        from icon_tpu.models.vgg import vgg_perceptual_loss
+        apply_fn, vgg_params = vgg
+        lF = lF + vgg_perceptual_loss(apply_fn, vgg_params, nmlF,
+                                      batch["normal_F"])
+        lB = lB + vgg_perceptual_loss(apply_fn, vgg_params, nmlB,
+                                      batch["normal_B"])
+    # reference val_loss = error_NF + error_NB (Normal.py:199)
+    metrics["loss"] = lF + lB
+    return metrics
