@@ -48,7 +48,8 @@ def alpha_bbox(alpha: np.ndarray, thresh: float = 0.5,
 
 
 def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
-                  segmenter: Optional[Callable] = None):
+                  segmenter: Optional[Callable] = None,
+                  detector: Optional[Callable] = None):
     """Returns (img_icon [S,S,3] in [-1,1]*mask, img_hps [224,224,3]
     ImageNet-normalized, mask [S,S], crop_param)."""
     from PIL import Image
@@ -58,11 +59,11 @@ def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
     rgb, alpha = rgba[..., :3], rgba[..., 3]
     if not has_alpha:
         # detector-first, matting-inside-the-box (the reference's
-        # human_det -> rembg order, imutils.py:89-136). The saliency
-        # detector needs no weights, so plain RGB photos get a person
-        # crop even before the U^2-Net checkpoint is installed.
+        # human_det -> rembg order, imutils.py:89-136). The trained
+        # YOLOv3-tiny person detector is used when its weights are
+        # installed; the weight-free saliency box otherwise.
         from icon_tpu.models.detector import detect_and_matte
-        alpha = detect_and_matte(rgb, segmenter)
+        alpha = detect_and_matte(rgb, segmenter, detector)
 
     top, left, size = alpha_bbox(alpha)
     H, W = alpha.shape
@@ -106,6 +107,7 @@ class TestDataset:
         self._hps = None
         self._hps_ckpt = hps_ckpt
         self._segmenter = None
+        self._detector = None
 
     def __len__(self):
         return len(self.subject_list)
@@ -143,12 +145,28 @@ class TestDataset:
                 self._segmenter = False
         return self._segmenter or None
 
+    @property
+    def detector(self):
+        """Trained YOLOv3-tiny person detector when its darknet weights
+        are installed (the reference's human_det role); RGB photos fall
+        back to the weight-free saliency box without it."""
+        if self._detector is None:
+            from icon_tpu.models.smplx.assets import data_root
+            p = osp.join(data_root(), "HPS", "yolov3-tiny.weights")
+            if osp.exists(p):
+                from icon_tpu.models.yolo import PersonDetector
+                self._detector = PersonDetector(p)
+            else:
+                self._detector = False
+        return self._detector or None
+
     def __getitem__(self, index: int) -> Dict[str, Any]:
         import jax.numpy as jnp
         path = self.subject_list[index]
         name = osp.splitext(osp.basename(path))[0]
         img_icon, img_hps, mask, crop_param = process_image(
-            path, icon_size=self.icon_size, segmenter=self.segmenter)
+            path, icon_size=self.icon_size, segmenter=self.segmenter,
+            detector=self.detector)
 
         out = self.hps(jnp.asarray(img_hps)[None])
 

@@ -135,20 +135,39 @@ def saliency_person_bbox(rgb: np.ndarray, thresh: float = 1.0,
 
 def detect_and_matte(rgb: np.ndarray,
                      segmenter: Optional[callable] = None,
+                     detector: Optional[callable] = None,
                      thresh: float = 0.35) -> np.ndarray:
     """Full RGB frame -> person alpha [H, W] (the reference's
     detector-then-rembg order, imutils.py:89-136).
 
-    The saliency detector proposes a box; the matting net (when installed)
-    refines the alpha *inside* the box; without a matting net the box
-    itself becomes a hard alpha so downstream cropping still tracks the
-    person rather than the full frame."""
+    The trained YOLOv3-tiny detector (models/yolo.py, when its weights are
+    installed) proposes the person box, falling back to the weight-free
+    saliency box; the matting net (when installed) refines the alpha
+    *inside* the box. Without a matting net the alpha is the soft
+    border-contrast figure/ground estimate inside the box — NOT a hard
+    rectangle (a box alpha would make every downstream silhouette loss fit
+    a rectangle) — and a loud warning says the result is degraded."""
+    import warnings
+
     H, W = rgb.shape[:2]
-    y0, x0, y1, x1 = saliency_person_bbox(rgb, thresh=thresh)
+    box = None
+    if detector is not None:
+        from icon_tpu.models.yolo import person_bbox
+        box = person_bbox(detector, rgb)
+    if box is None:
+        box = saliency_person_bbox(rgb, thresh=thresh)
+    y0, x0, y1, x1 = box
     alpha = np.zeros((H, W), np.float32)
+    crop = rgb[y0:y1, x0:x1]
     if segmenter is not None:
-        crop = rgb[y0:y1, x0:x1]
         alpha[y0:y1, x0:x1] = np.asarray(segmenter(crop), np.float32)
     else:
-        alpha[y0:y1, x0:x1] = 1.0
+        warnings.warn(
+            "no matting checkpoint installed (data/HPS/u2net.pth) — using "
+            "a saliency figure/ground estimate as the person matte; "
+            "silhouette-driven stages will be degraded", stacklevel=2)
+        soft = border_contrast_saliency(crop, work=96)
+        soft = np.where(soft > soft.mean(), soft, 0.0)
+        alpha[y0:y1, x0:x1] = _resize_np(
+            soft[..., None].repeat(3, -1), crop.shape[:2])[..., 0]
     return alpha

@@ -51,11 +51,42 @@ def test_process_image_crops_rgb_to_person(tmp_path):
     assert mask.mean() > 0.15          # the person fills a chunk of it
 
 
-def test_detect_and_matte_box_alpha_without_segmenter():
+def test_detect_and_matte_soft_alpha_without_segmenter():
+    """Missing matting must warn loudly and yield a figure/ground estimate,
+    NOT a hard box rectangle (a box alpha makes downstream silhouette
+    losses fit a rectangle)."""
+    import pytest
     from icon_tpu.models.detector import detect_and_matte
     img, inside = _person_photo()
-    alpha = detect_and_matte(img, segmenter=None)
-    assert set(np.unique(alpha)) <= {0.0, 1.0}
+    with pytest.warns(UserWarning, match="matting"):
+        alpha = detect_and_matte(img, segmenter=None)
+    on = alpha > 0
+    assert on.sum() > 0
+    assert on.mean() < 0.9             # not the whole frame
+    # soft and figure-shaped: the on-region is not a filled rectangle
+    ys, xs = np.where(on)
+    box_area = (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+    assert on.sum() < 0.95 * box_area
+    assert len(np.unique(alpha[on])) > 2   # graded, not binary
+
+
+def test_detect_and_matte_uses_detector_box():
+    """A trained-detector box (fed via a stub PersonDetector) wins over
+    saliency; the matte stays inside it."""
+    from icon_tpu.models import yolo
+    from icon_tpu.models.detector import detect_and_matte
+    img, _ = _person_photo()
+    H, W = img.shape[:2]
+
+    class StubDet:
+        def __call__(self, rgb):
+            return (np.array([[40.0, 150.0, 200.0, 270.0]], np.float32),
+                    np.array([0.9], np.float32))
+
+    alpha = detect_and_matte(img, segmenter=lambda c: np.ones(c.shape[:2]),
+                             detector=StubDet())
     ys, xs = np.where(alpha > 0)
-    assert len(ys) > 0
-    assert (alpha > 0).mean() < 0.9    # not the whole frame
+    # person_bbox adds a 10% margin to the stub's (40,150,200,270)
+    assert 20 <= ys.min() and ys.max() <= 220
+    assert 135 <= xs.min() and xs.max() <= 285
+    assert ys.max() - ys.min() > 120 and xs.max() - xs.min() > 80
