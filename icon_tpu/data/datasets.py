@@ -57,6 +57,12 @@ NOISE_SMPL_IDX = [i * 3 + k for i in _NOISE_JOINTS for k in range(3)]
 
 
 def _imagepath2tensor(path: str, channels: int = 3) -> np.ndarray:
+    # native C++ decode first (GIL-free under the threaded DataLoader;
+    # icon_tpu/native) — falls back to PIL for exotic PNGs / missing g++
+    from icon_tpu import native
+    out = native.decode_masked_tensor(path, channels)
+    if out is not None:
+        return out
     from PIL import Image
     rgba = Image.open(path).convert("RGBA")
     arr = np.asarray(rgba, np.float32) / 255.0

@@ -1,0 +1,153 @@
+"""Native host runtime: C++ kernels for the GIL-bound parts of the data
+pipeline, bound via ctypes (no pybind11 in the image).
+
+The TPU compute path stays JAX/XLA/Pallas; this package covers the *host*
+side the reference delegates to native code through torch's C++ DataLoader
+machinery (PIFuDataModule.py:41-44) and PIL/cv2: PNG decode + the
+imagepath2tensor fusion. ctypes calls release the GIL, so the threaded
+DataLoader (data/datasets.py) scales across cores instead of serializing on
+PIL decode — the pod-slice input-pipeline fix flagged in round 3.
+
+Public API (all fall back to ``None``/raise cleanly when g++ is missing —
+callers keep their PIL paths):
+
+- ``available()`` — native lib compiled and loadable?
+- ``decode_png_rgba(path_or_bytes) -> uint8 [H, W, 4]``
+- ``decode_masked_tensor(path, channels) -> float32 [H, W, C]``
+  ((rgb * 2 - 1) * alpha, the reference imagepath2tensor semantics)
+- ``decode_rgb_alpha(path) -> (float32 [H, W, 3], float32 [H, W])``
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("ICON_TPU_NATIVE", "1") == "0":
+            return None
+        try:
+            from icon_tpu.native.build import build
+            lib = ctypes.CDLL(build())
+        except Exception:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.icon_png_probe.argtypes = [u8p, ctypes.c_size_t, i32p, i32p]
+        lib.icon_png_probe.restype = ctypes.c_int
+        lib.icon_png_decode_rgba.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_int, ctypes.c_int]
+        lib.icon_png_decode_rgba.restype = ctypes.c_int
+        lib.icon_png_decode_masked_f32.argtypes = [
+            u8p, ctypes.c_size_t, f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.icon_png_decode_masked_f32.restype = ctypes.c_int
+        lib.icon_png_decode_rgba_f32.argtypes = [
+            u8p, ctypes.c_size_t, f32p, f32p, ctypes.c_int, ctypes.c_int]
+        lib.icon_png_decode_rgba_f32.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _read(src: Union[str, bytes]) -> bytes:
+    if isinstance(src, bytes):
+        return src
+    with open(src, "rb") as f:
+        return f.read()
+
+
+def _probe(lib, buf: bytes) -> Optional[Tuple[int, int]]:
+    bp = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.icon_png_probe(bp, len(buf),
+                          ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _as_f32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def decode_png_rgba(src: Union[str, bytes]) -> Optional[np.ndarray]:
+    """uint8 [H, W, 4], or None when native decode is unavailable or the
+    file uses an unsupported PNG variant (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = _read(src)
+    wh = _probe(lib, buf)
+    if wh is None:
+        return None
+    w, h = wh
+    out = np.empty((h, w, 4), np.uint8)
+    bp = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    if lib.icon_png_decode_rgba(bp, len(buf), _as_u8p(out), w, h) != 0:
+        return None
+    return out
+
+
+def decode_masked_tensor(src: Union[str, bytes],
+                         channels: int = 3) -> Optional[np.ndarray]:
+    """float32 [H, W, channels] = (rgb * 2 - 1) * alpha (reference
+    imagepath2tensor, NormalDataset.py:165), fused in C++."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = _read(src)
+    wh = _probe(lib, buf)
+    if wh is None:
+        return None
+    w, h = wh
+    out = np.empty((h, w, channels), np.float32)
+    bp = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    if lib.icon_png_decode_masked_f32(
+            bp, len(buf), _as_f32p(out), w, h, channels) != 0:
+        return None
+    return out
+
+
+def decode_rgb_alpha(src: Union[str, bytes]
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(float32 rgb [H, W, 3], float32 alpha [H, W]) in [0, 1]."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = _read(src)
+    wh = _probe(lib, buf)
+    if wh is None:
+        return None
+    w, h = wh
+    rgb = np.empty((h, w, 3), np.float32)
+    alpha = np.empty((h, w), np.float32)
+    bp = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    if lib.icon_png_decode_rgba_f32(
+            bp, len(buf), _as_f32p(rgb), _as_f32p(alpha), w, h) != 0:
+        return None
+    return rgb, alpha
