@@ -4,6 +4,15 @@ Reference: ``GlobalGenerator``/``ResnetBlock`` (lib/net/FBNet.py:202-317),
 instantiated via ``define_G(in, 3, 64, "global", 4, 9, 1, 3, "instance")``
 (lib/net/NormalNet.py:67-70): ngf=64, 4 downsamplings, 9 resnet blocks,
 instance norm, reflect padding, Tanh output.
+
+The 9 identical resblocks run as ONE ``nn.scan`` body with stacked
+[9, ...] params instead of 9 inlined copies: the traced graph shrinks ~6x,
+which cuts XLA compile time for the 512^2 NormalNet (the demo's cold-start
+bottleneck — the remote-compile service was intermittently dying on the
+inlined 9-block module, round-3 notes in infer/refine.py:159-174).
+Instance norm carries no state, so the scan is purely structural. The
+torch-port ordered matcher stacks the reference's nine per-block tensors
+into the leading axis (utils/torch_port.py:port_by_order stacked_prefixes).
 """
 
 from __future__ import annotations
@@ -53,9 +62,12 @@ class GlobalGenerator(nn.Module):
             h = apply_norm(make_norm(self.norm, f"down_norm{i}"), h, train)
             h = nn.relu(h)
 
-        for i in range(self.n_blocks):
-            h = ResnetBlock(self.ngf * 2 ** self.n_downsampling, self.norm,
-                            name=f"res{i}")(h, train)
+        dim = self.ngf * 2 ** self.n_downsampling
+        scan = nn.scan(
+            lambda block, carry, _: (block(carry, train), None),
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            length=self.n_blocks)
+        h, _ = scan(ResnetBlock(dim, self.norm, name="res_stack"), h, None)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

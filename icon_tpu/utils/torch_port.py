@@ -77,16 +77,20 @@ def pix2pix_forward_order(key: str):
     """
     import re
     parts = key.split("/")
-    m = re.match(r"([a-z_]+?)(\d+)?$", parts[0])
-    stage = {"conv_in": 0, "down": 1, "res": 2, "up": 3, "conv_out": 4}
-    return (stage[m.group(1)], int(m.group(2) or 0), parts[1:])
+    head, _, rep = parts[0].partition("#")   # res_stack#3 -> (res_stack, 3)
+    m = re.match(r"([a-z_]+?)(\d+)?$", head)
+    stage = {"conv_in": 0, "down": 1, "res": 2, "res_stack": 2,
+             "up": 3, "conv_out": 4}
+    return (stage[m.group(1)], int(m.group(2) or rep or 0), parts[1:])
 
 
 def port_by_order(torch_state: Dict[str, np.ndarray],
                   flax_params: Any,
                   torch_prefix: str = "",
                   flax_order=None,
-                  verbose: bool = False) -> Tuple[Any, List[str]]:
+                  verbose: bool = False,
+                  stacked_prefixes: Sequence[str] = ("res_stack",),
+                  ) -> Tuple[Any, List[str]]:
     """Zip torch weight tensors with flax kernels in declaration order.
 
     Torch entries are taken in the state-dict's insertion order (module
@@ -100,18 +104,53 @@ def port_by_order(torch_state: Dict[str, np.ndarray],
     insertion order is used, which is only correct for trees fresh out of an
     un-jitted ``net.init``.
 
+    ``stacked_prefixes``: path components holding ``nn.scan``-stacked params
+    (leading axis = scan length, e.g. the pix2pixHD ``res_stack`` of 9
+    resblocks). Each stacked leaf is expanded into per-iteration virtual
+    leaves (``res_stack#k/...``) before matching — so N consecutive torch
+    blocks zip against them one-to-one — then re-stacked on return.
+
     Returns (new_params, log of mappings). Raises on shape mismatch.
     """
     t_items = [(k, v) for k, v in torch_state.items()
                if k.startswith(torch_prefix) and "num_batches_tracked" not in k]
-    flat = _flatten(flax_params)
+
+    # expand scan-stacked subtrees into per-iteration virtual leaves,
+    # iteration-major (block0's leaves, then block1's, ...) at the position
+    # the stacked subtree occupied — so plain insertion order stays forward
+    # order and torch's per-block tensors zip one-to-one
+    raw = list(_flatten(flax_params).items())
+    flat: Dict[str, np.ndarray] = {}
+    stack_meta: Dict[str, List[str]] = {}
+    i = 0
+    while i < len(raw):
+        k, v = raw[i]
+        parts = k.split("/")
+        hit = next((idx for idx, p in enumerate(parts)
+                    if p in stacked_prefixes), None)
+        if hit is None:
+            flat[k] = v
+            i += 1
+            continue
+        root = "/".join(parts[:hit + 1])
+        group = []                       # contiguous: _flatten is depth-first
+        while i < len(raw) and raw[i][0].startswith(root + "/"):
+            group.append(raw[i])
+            i += 1
+        for j in range(group[0][1].shape[0]):
+            for gk, gv in group:
+                gparts = gk.split("/")
+                gparts[hit] = f"{gparts[hit]}#{j}"
+                kj = "/".join(gparts)
+                flat[kj] = gv[j]
+                stack_meta.setdefault(gk, []).append(kj)
 
     # pair sequentially by tensor role
     t_weights = [(k, v) for k, v in t_items if v.ndim >= 2]
     t_vectors = [(k, v) for k, v in t_items if v.ndim == 1]
 
     log = []
-    flat_ordered = list(_flatten(flax_params).items())
+    flat_ordered = list(flat.items())
     if flax_order is not None:
         flat_ordered.sort(key=lambda kv: flax_order(kv[0]))
     fk_ordered = [k for k, v in flat_ordered if v.ndim >= 2]
@@ -145,6 +184,10 @@ def port_by_order(torch_state: Dict[str, np.ndarray],
             raise ValueError(f"{tk} {tv.shape} -> {fk} {target.shape}")
         new_flat[fk] = tv.astype(target.dtype)
         log.append(f"{tk} -> {fk}")
+
+    # collapse virtual per-iteration leaves back to stacked [N, ...] arrays
+    for k, keys in stack_meta.items():
+        new_flat[k] = np.stack([np.asarray(new_flat.pop(kj)) for kj in keys])
 
     return _unflatten(new_flat), log
 
