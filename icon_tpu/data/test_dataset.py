@@ -49,7 +49,8 @@ def alpha_bbox(alpha: np.ndarray, thresh: float = 0.5,
 
 def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
                   segmenter: Optional[Callable] = None,
-                  detector: Optional[Callable] = None):
+                  detector: Optional[Callable] = None,
+                  return_raw: bool = False):
     """Returns (img_icon [S,S,3] in [-1,1]*mask, img_hps [224,224,3]
     ImageNet-normalized, mask [S,S], crop_param)."""
     from PIL import Image
@@ -87,6 +88,13 @@ def process_image(path: str, icon_size: int = 512, hps_size: int = 224,
     img_hps = (hps_rgb - IMAGENET_MEAN) / IMAGENET_STD
 
     crop_param = {"top": top, "left": left, "size": size, "ori_hw": (H, W)}
+    if return_raw:
+        # un-normalized, un-masked crop for full-frame HPS front ends
+        # (BEV runs its own detection; the reference hands it the raw
+        # crop, imutils.py process_image hps_type=='bev' branch)
+        raw = (resize(crop_rgb, icon_size) * 255).astype(np.uint8)
+        return (img_icon.astype(np.float32), img_hps.astype(np.float32),
+                (icon_a > 0.5).astype(np.float32), crop_param, raw)
     return (img_icon.astype(np.float32), img_hps.astype(np.float32),
             (icon_a > 0.5).astype(np.float32), crop_param)
 
@@ -164,11 +172,14 @@ class TestDataset:
         import jax.numpy as jnp
         path = self.subject_list[index]
         name = osp.splitext(osp.basename(path))[0]
-        img_icon, img_hps, mask, crop_param = process_image(
+        wants_raw = getattr(self.hps, "wants_raw", False)
+        processed = process_image(
             path, icon_size=self.icon_size, segmenter=self.segmenter,
-            detector=self.detector)
+            detector=self.detector, return_raw=wants_raw)
+        img_icon, img_hps, mask, crop_param = processed[:4]
 
-        out = self.hps(jnp.asarray(img_hps)[None])
+        out = self.hps(processed[4]) if wants_raw \
+            else self.hps(jnp.asarray(img_hps)[None])
 
         item: Dict[str, Any] = {
             "name": name, "image": img_icon, "mask": mask,
@@ -185,6 +196,11 @@ class TestDataset:
             verts = out["pred_vertices"]
             # reference doubles hybrik's scale (TestDataset.py:262)
             cam = np.asarray(out["pred_camera"]) * np.array([2.0, 1.0, 1.0])
+        elif self.hps_type == "bev":
+            # already adapted by BEVWrapper.adapt (TestDataset.py:263-276)
+            rotmat = out["rotmat"]
+            verts = out["verts"]
+            cam = out["cam"]
         elif self.hps_type == "pixie":
             # SMPL-X params (TestDataset.py:248-254): keep the face/hand
             # params the pixie-specific refinement consumes
@@ -311,6 +327,86 @@ class HybrIKWrapper:
         return self._fwd(self.variables, jnp.asarray(img))
 
 
+def _rodrigues_np(aa: np.ndarray) -> np.ndarray:
+    """[N, 3] axis-angle -> [N, 3, 3] rotation matrices (host-side; BEV's
+    thetas arrive as numpy from the external package)."""
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True).clip(1e-8)
+    k = aa / theta
+    K = np.zeros((len(aa), 3, 3), np.float32)
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    s = np.sin(theta)[..., None]
+    c = np.cos(theta)[..., None]
+    return (np.eye(3, dtype=np.float32)[None] + s * K
+            + (1 - c) * (K @ K)).astype(np.float32)
+
+
+def adapt_bev_output(preds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """simple-romp BEV numpy outputs -> the common HPS item layout
+    (reference TestDataset.py:263-276): betas[:10], 72-dim axis-angle
+    thetas -> [1, 24, 3, 3] rotmats, person 0's verts, and the reference's
+    empirical camera remap (scale = cam[0]*1.1, tranY = cam[1]+0.28,
+    tranX from the metric cam_trans)."""
+    thetas = np.asarray(preds["smpl_thetas"])[0].reshape(-1, 3)
+    rotmat = _rodrigues_np(thetas.astype(np.float32))[None]
+    cam = np.asarray(preds["cam"], np.float32)
+    cam_trans = np.asarray(preds["cam_trans"], np.float32)
+    return {
+        "rotmat": rotmat,
+        "pred_shape": np.asarray(preds["smpl_betas"],
+                                 np.float32)[0:1, :10],
+        "verts": np.asarray(preds["verts"], np.float32)[0:1],
+        "cam": np.array([[cam[0, 0] * 1.1, cam_trans[0, 0],
+                          cam[0, 1] + 0.28]], np.float32),
+    }
+
+
+class BEVWrapper:
+    """Callable HPS around the external ``simple-romp`` BEV package
+    (reference TestDataset.py:111-125 — external pip there too; only this
+    output-adaptation shim is first-party in either codebase).
+
+    Consumes the raw uint8 crop (``wants_raw``): BEV runs its own person
+    detection + crop internally, like the reference which hands it the
+    unnormalized image."""
+
+    wants_raw = True
+    random_init = False     # external package ships trained weights
+
+    def __init__(self, ckpt: str = ""):
+        try:
+            import bev
+        except ImportError as e:
+            raise RuntimeError(
+                "hps_type 'bev' wraps the external `simple-romp` package "
+                "(the reference installs it via pip, TestDataset.py:113-117)"
+                " — `pip install simple-romp==1.0.3` to use it") from e
+        settings = bev.main.default_settings
+        settings.mode = "image"
+        settings.show_largest = True    # single-subject pipeline
+        self._bev = bev.BEV(settings)
+        from icon_tpu.models.smplx.assets import SMPLX
+        from icon_tpu.models.smplx.body import (load_body_model,
+                                                synthetic_body_model)
+        reg = SMPLX()
+        for g in ("NEUTRAL", "MALE"):
+            for ext in ("pkl", "npz"):
+                p = osp.join(reg.model_dir, "smpl", f"SMPL_{g}.{ext}")
+                if osp.exists(p):
+                    self.faces = np.asarray(
+                        load_body_model(p, model_type="smpl").faces)
+                    return
+        self.faces = np.asarray(synthetic_body_model().faces)
+
+    def __call__(self, raw_rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        # BEV expects BGR uint8 (it wraps cv2 conventions)
+        preds = self._bev(np.ascontiguousarray(raw_rgb[..., ::-1]))
+        if preds is None:
+            raise RuntimeError("BEV found no person in the image")
+        return adapt_bev_output(preds)
+
+
 def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
     """HPS registry (reference TestDataset.py:90-126). PyMAF is the default;
     PIXIE / HybrIK / BEV register here as their ports land."""
@@ -336,10 +432,7 @@ def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
                             "pixie_model.tar")
         return PIXIEWrapper(ckpt)
     if hps_type == "bev":
-        raise NotImplementedError(
-            "bev wraps the external `simple-romp` pip package in the "
-            "reference too (TestDataset.py:111-125); install it and adapt "
-            "through this registry")
+        return BEVWrapper(ckpt)
     raise NotImplementedError(
         f"hps_type {hps_type!r} unknown "
-        "(available: pymaf, pare, hybrik, pixie)")
+        "(available: pymaf, pare, hybrik, pixie, bev)")
