@@ -1,8 +1,15 @@
-"""Occupancy grid -> mesh, reproducing the reference export conventions.
+"""Occupancy grid -> mesh, following the reference export conventions.
 
-Reference (seg3d_lossless.py:583-604 + apps/ICON.py:755-759): drop the first
-slice along each axis, run marching at iso 0.5 in (x, y, z) vertex order,
-then normalize vertices to [-1, 1] by (R-1)/2.
+Reference (seg3d_lossless.py:583-604 + apps/ICON.py:446-450): drop the
+first slice along each axis, run marching at iso 0.5 in (x, y, z) vertex
+order, then normalize vertices to [-1, 1] by (R-1)/2.
+
+One deliberate deviation: the reference normalizes the *sliced*-grid vertex
+indices directly, so its meshes sit one voxel (2/(R-1), ~0.78 x100-chamfer
+units at 257) below/left/behind the true level set — the dropped first
+slice shifts every index by +1. We add that +1 back before normalizing;
+the fidelity gate (tests/test_recon_fidelity.py) pins the resulting
+sub-voxel accuracy against an analytic surface.
 """
 
 from __future__ import annotations
@@ -32,5 +39,6 @@ def extract_mesh(occ: jnp.ndarray, iso: float = 0.5,
     verts, faces = fetch_mesh(out)
     if normalize and len(verts):
         half = (R - 1) / 2.0
-        verts = (verts - half) / half
+        # +1: sliced-grid index -> full-grid index (see module docstring)
+        verts = (verts + 1.0 - half) / half
     return verts.astype(np.float32), faces
