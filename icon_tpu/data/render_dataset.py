@@ -91,16 +91,18 @@ def compute_prt(verts: np.ndarray, faces: np.ndarray,
     (reference prt_util.py computePRT, which Monte-Carlo integrates
     visibility x cosine x SH over embree rays).
 
-    TPU-native formulation: instead of per-vertex ray casts, render the
-    mesh from ``n_dirs`` directions with the tile rasterizer and read
-    per-vertex visibility from the face-id buffer — K rasterizations
-    instead of V*K rays. T_lm = (4/K) sum_k vis_k cos+ Y_lm(d_k); the
-    constant matches the analytic ``sh_basis(n) @ sh`` path at the ambient
-    band for unshadowed surfaces, so PRT renders sit in the same exposure
-    range while concavities (armpits, chin, folds) darken correctly."""
+    TPU-native formulation: instead of per-vertex ray casts, render a depth
+    buffer from each of ``n_dirs`` directions with the tile rasterizer and
+    shadow-map-test every vertex against it (PCF-filtered point visibility,
+    ops/raster.py:vertex_visibility_depth) — K rasterizations instead of
+    V*K rays. T_lm = (4/K) sum_k vis_k cos+ Y_lm(d_k); the constant matches
+    the analytic ``sh_basis(n) @ sh`` path at the ambient band for
+    unshadowed surfaces, so PRT renders sit in the same exposure range
+    while concavities (armpits, chin, folds) darken correctly. Correlates
+    0.9995 with the literal ray-cast algorithm (tests/test_prt.py)."""
     import jax.numpy as jnp
     from icon_tpu.ops.mesh import vertex_normals
-    from icon_tpu.ops.raster import vertex_visibility
+    from icon_tpu.ops.raster import vertex_visibility_depth
 
     v = jnp.asarray(verts)
     f = jnp.asarray(faces)
@@ -120,8 +122,8 @@ def compute_prt(verts: np.ndarray, faces: np.ndarray,
         y = np.cross(z, x)
         R = np.stack([x, y, z]).astype(np.float32)      # world -> view
         ndc = (verts @ R.T) * flip
-        vis = np.asarray(vertex_visibility(jnp.asarray(ndc), f,
-                                           res=vis_res))[:, 0]
+        vis = np.asarray(vertex_visibility_depth(jnp.asarray(ndc), f,
+                                                 res=vis_res))
         cos = np.maximum(vn @ d, 0.0)
         T += (vis * cos)[:, None] * sh_basis(d)[None]
     return T * (4.0 / n_dirs)

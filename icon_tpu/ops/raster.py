@@ -242,3 +242,50 @@ def vertex_visibility(verts_ndc: jnp.ndarray, faces: jnp.ndarray,
     vis = jnp.zeros((V,), jnp.float32).at[fv.reshape(-1)].set(
         1.0, mode="drop")
     return vis[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def vertex_visibility_depth(verts_ndc: jnp.ndarray, faces: jnp.ndarray,
+                            res: int = 512,
+                            eps_px: float = 1.0) -> jnp.ndarray:
+    """Per-vertex *point* visibility by shadow-map depth compare.
+
+    ``vertex_visibility``'s face-id semantics (visible iff an adjoining face
+    wins a pixel) is the right match for the reference's color-query
+    visibility, but it leaks light in creases: a face straddling a concavity
+    wins pixels on its lit side and drags its shadowed vertices along.
+    PRT transport (prt_util.py computePRT casts per-vertex embree rays)
+    needs the point test. Here: one depth raster per direction, then each
+    vertex — offset along its face normals' average like the reference's
+    ``delta`` ray-origin offset — passes iff its depth reaches the buffer,
+    PCF-filtered over the 2x2 neighboring texels (binary compare per texel,
+    bilinear blend of the results; interpolating depth itself would mix in
+    background BIG values). On the test snowman this correlates 0.9995 with
+    the literal ray-cast algorithm vs 0.913 for face-id semantics
+    (tests/test_prt.py).
+
+    Returns ``[V]`` fractional visibility in [0, 1].
+    """
+    from icon_tpu.ops.mesh import vertex_normals
+
+    V = verts_ndc.shape[0]
+    out = rasterize(verts_ndc, faces, jnp.zeros((V, 1)), H=res, W=res,
+                    K=512)
+    vn = vertex_normals(verts_ndc[None], faces)[0]
+    ext = jnp.min(jnp.max(verts_ndc, 0) - jnp.min(verts_ndc, 0))
+    q = verts_ndc + (1e-3 * ext) * vn          # prt_util.py's delta offset
+    xy = (q[:, :2] + 1.0) * 0.5 * res - 0.5    # pixel-center coords
+    zq = q[:, 2]
+    x0 = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    y0 = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    fx = xy[:, 0] - x0
+    fy = xy[:, 1] - y0
+    eps = eps_px * (2.0 / res)                 # ~a pixel of surface slope
+    vis = jnp.zeros((V,), jnp.float32)
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            xi = jnp.clip(x0 + dx, 0, res - 1)
+            yi = jnp.clip(y0 + dy, 0, res - 1)
+            d = out.depth[yi, xi]
+            vis = vis + (wx * wy) * (zq <= d + eps)
+    return vis
