@@ -55,6 +55,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from icon_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()   # persist XLA compilations across demo invocations
 
     from icon_tpu.config import load_config
     from icon_tpu.data.render_dataset import make_calib

@@ -53,6 +53,9 @@ def main():
                   f"{jax.process_count()}, "
                   f"{jax.device_count()} global devices")
 
+    from icon_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()   # persist XLA compilations across runs
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

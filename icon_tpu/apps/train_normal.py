@@ -30,6 +30,9 @@ def main():
     ap.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args()
 
+    from icon_tpu.utils.jax_cache import enable as _enable_cache
+    _enable_cache()   # persist XLA compilations across runs
+
     import jax
     import jax.numpy as jnp
 

@@ -5,9 +5,9 @@ The reference calls meshlab's isotropic explicit remeshing between implicit
 reconstruction and cloth refinement (apps/infer.py:402) so the LocalAffine
 deformation operates on reasonably uniform triangles. This is a host-side,
 not per-frame, step (SURVEY §2.3), so a clear numpy implementation is the
-right tool: iterative long-edge midpoint splitting to the target length
-followed by Taubin lambda/mu smoothing (feature-preserving enough for
-marching-tetrahedra output, whose triangles are already near-uniform).
+right tool: the full Botsch-Kobbelt loop — long-edge split, short-edge
+collapse, valence-improving flips, and tangential relaxation — with
+screened Poisson reconstruction alongside (ops/poisson.py).
 """
 
 from __future__ import annotations
