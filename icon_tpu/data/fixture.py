@@ -20,8 +20,13 @@ import numpy as np
 
 def make_synthetic_dataset(root: str, dataset: str = "synth",
                            n_subjects: int = 2, n_views: int = 3,
-                           size: int = 128, seed: int = 0) -> None:
-    """Write ``{root}/{dataset}/...`` + ``{root}/{dataset}_{R}views/...``."""
+                           size: int = 128, seed: int = 0,
+                           vis_res: int = 1024) -> None:
+    """Write ``{root}/{dataset}/...`` + ``{root}/{dataset}_{R}views/...``.
+
+    ``vis_res`` defaults to 1024 (not the production 4096,
+    apps/render.py) — the fixture feeds tests and loader benches where a
+    4096^2 CPU rasterization per view dominates generation time."""
     import jax.numpy as jnp
     from icon_tpu.models.smplx.assets import get_smpl_model
     from icon_tpu.data.render_dataset import render_subject_views
@@ -81,7 +86,7 @@ def make_synthetic_dataset(root: str, dataset: str = "synth",
         out_dir = osp.join(root, f"{dataset}_{n_views}views", subject)
         render_subject_views(out_dir, scan_verts, model.faces,
                              body_verts, model.faces, rotations,
-                             size=size, seed=seed + si)
+                             size=size, seed=seed + si, vis_res=vis_res)
 
 
 def fixture_config(root: str, dataset: str = "synth", n_views: int = 3,

@@ -315,13 +315,15 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
     teid = jnp.where(tri_alive[:, None], teid, jnp.int32(2 ** 31 - 1))
 
     # ---- 4. vertex dedup via sort of exact edge ids -------------------------
+    # one multi-operand lax.sort co-sorts the coordinates and the original
+    # slot position with the keys — TPU gathers serialize, so sort-then-
+    # 4-gathers (the argsort formulation) loses to carrying the payload
+    # through the sort network
     M = max_tris * 3
     keys = teid.reshape(-1)                              # [M]
-    order = jnp.argsort(keys)
-    sk = keys[order]
-    sx = tvx.reshape(-1)[order]
-    sy = tvy.reshape(-1)[order]
-    sz = tvz.reshape(-1)[order]
+    sk, sx, sy, sz, order = jax.lax.sort(
+        (keys, tvx.reshape(-1), tvy.reshape(-1), tvz.reshape(-1),
+         jnp.arange(M, dtype=jnp.int32)), num_keys=1)
 
     first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
     first = first & (sk != 2 ** 31 - 1)
