@@ -65,7 +65,7 @@ def main():
     from icon_tpu.models.hgpifu import HGPIFuNet
     from icon_tpu.recon.engine import (ReconEngine,
                                        reconstruction_resolutions)
-    from icon_tpu.recon.marching import AutoMarcher, pack_mesh, unpack_mesh
+    from icon_tpu.recon.marching import AutoMarcher
     from icon_tpu.utils.synthetic import synthetic_icon_batch
 
     cfg = Config(
@@ -166,16 +166,19 @@ def main():
                           max_verts=(1 << 19) * area_scale, slice_one=True)
 
     def compute():
-        """Enqueue one frame's device work; returns the packed mesh."""
+        """Enqueue one frame's device work; returns the packed-mesh token.
+        Nothing here blocks on the device: marching buffer sizes, pack
+        sizes, and the true vertex/triangle counts all ride previous-frame
+        async prefetches or the packed buffer's device-written header."""
         filter_jit(variables, in_t)
         cz, _ = columns_jit(smpl_feat["smpl_verts"][0])
         occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,))
         mesh = marcher(occ, coarse_occ=stats["coarse_occ"])
-        return pack_mesh(mesh), mesh, stats
+        return marcher.pack(mesh), mesh, stats
 
     def frame():
-        packed, mesh, stats = compute()
-        verts, faces = unpack_mesh(*packed)   # blocking host transfer
+        token, mesh, stats = compute()
+        verts, faces = marcher.unpack(token)   # blocking host transfer
         return stats, mesh, verts, faces
 
     # warmup/compile (per-level executables cached on the engine); three
@@ -195,7 +198,7 @@ def main():
     for _ in range(args.iters):
         t0 = time.perf_counter()
         stats, mesh, verts, faces = frame()
-        n_tris = int(mesh.n_tris)
+        n_tris = len(faces)        # from the transferred header, no extra sync
         times.append(time.perf_counter() - t0)
 
     # (b) serving throughput: 2-deep pipeline — frame i+1's device compute
@@ -206,7 +209,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(npipe):
         nxt = compute()
-        verts, faces = unpack_mesh(*pending[0])
+        verts, faces = marcher.unpack(pending[0])
         pending = nxt
     pipe_dt = (time.perf_counter() - t0) / npipe
 

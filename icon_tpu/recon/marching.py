@@ -376,7 +376,9 @@ class AutoMarcher:
         self.headroom = headroom
         self.use_coarse = use_coarse
         self.slice_one = slice_one
-        self._last = None          # device [2]: (n_cells_total, n_tris_total)
+        # device [4]: (n_cells_total, n_tris_total, n_verts, n_tris) —
+        # measured last frame, prefetched async, read lazily next frame
+        self._last = None
         self._jit_cache = {}
 
     @staticmethod
@@ -386,13 +388,19 @@ class AutoMarcher:
             b = -(-int(b * 1.25) // 8192) * 8192
         return min(b, cap)
 
-    def _sizes(self) -> Tuple[int, int, int]:
+    def _counts(self) -> Optional[Tuple[int, int, int, int]]:
         if self._last is None:
-            return self.caps
+            return None
         try:
-            ncells, ntris = (int(v) for v in np.asarray(self._last))
+            return tuple(int(v) for v in np.asarray(self._last))
         except Exception:
+            return None
+
+    def _sizes(self) -> Tuple[int, int, int]:
+        c = self._counts()
+        if c is None:
             return self.caps
+        ncells, ntris = c[0], c[1]
         if ncells <= 0 or ntris <= 0 or ncells > self.caps[0] \
                 or ntris > self.caps[1]:
             return self.caps                       # overflow -> reset
@@ -418,12 +426,38 @@ class AutoMarcher:
             occ, coarse_occ=coarse_occ if self.use_coarse else None)
         # counts are read lazily NEXT frame (and pre-fetched async) so this
         # call never blocks — autotuning must not serialize the pipeline
-        self._last = jnp.stack([out.n_cells_total, out.n_tris_total])
+        self._last = jnp.stack([out.n_cells_total, out.n_tris_total,
+                                out.n_verts, out.n_tris])
         try:
             self._last.copy_to_host_async()
         except Exception:
             pass
         return out
+
+    def pack(self, out: MarchOut, quantize: bool = True):
+        """Non-blocking device-side pack sized from the previous frame's
+        measured vertex/triangle counts x headroom (first frame: the full
+        buffers). Returns a token for :meth:`unpack`; nothing here waits on
+        the device, so a serving loop can enqueue the next frame's compute
+        before blocking on this frame's transfer."""
+        c = self._counts()
+        sizes = (int(c[2] * self.headroom), int(c[3] * self.headroom)) \
+            if c is not None else None
+        packed = pack_mesh(out, quantize=quantize, sizes=sizes)
+        return packed, out, quantize
+
+    def unpack(self, token) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking transfer + decode of a :meth:`pack` token. If the scene
+        grew past the hinted sizes (header counts exceed the packed sizes)
+        the mesh re-packs at full buffer size and transfers again — one
+        extra copy on that rare frame instead of a silent truncation."""
+        packed, out, quantize = token
+        verts, faces, overflow = unpack_mesh(packed, quantize=quantize,
+                                             return_overflow=True)
+        if overflow:
+            verts, faces = unpack_mesh(
+                pack_mesh(out, quantize=quantize), quantize=quantize)
+        return verts, faces
 
 
 def marching_tetrahedra(occ: jnp.ndarray, iso: float = 0.5,
@@ -446,15 +480,22 @@ def _pack_fn(nv: int, nt: int, quantize: bool):
     """Jitted packer for bucketed (nv, nt) sizes — eager per-op dispatch on
     the tunneled device costs ~20 ms each, so the pack must be ONE
     executable; bucketing the sizes keeps the executable count small and
-    lets stable scenes reuse one compile."""
+    lets stable scenes reuse one compile.
 
-    def pack(vx, vy, vz, faces):
+    The TRUE counts ride the buffer as a 2-word header written on device,
+    so packing never reads a device scalar back to the host (two blocking
+    ``int(out.n_verts)``-style round trips on the tunneled link cost
+    ~50-80 ms per frame and serialized the serving pipeline on every
+    frame's marching pass — measured in scripts/profile_human_frame.py)."""
+
+    def pack(vx, vy, vz, faces, counts):
         vx = jax.lax.slice(vx, (0,), (nv,))
         vy = jax.lax.slice(vy, (0,), (nv,))
         vz = jax.lax.slice(vz, (0,), (nv,))
         f = jax.lax.slice(faces, (0, 0), (nt, 3))
         if not quantize:
             return jnp.concatenate([
+                jax.lax.bitcast_convert_type(counts, jnp.float32),
                 vx, vy, vz,
                 jax.lax.bitcast_convert_type(f.reshape(-1), jnp.float32)])
 
@@ -468,17 +509,27 @@ def _pack_fn(nv: int, nt: int, quantize: bool):
         f0, f1, f2 = f[:, 0], f[:, 1], f[:, 2]
         w0 = f0 | ((f1 & 0x7FF) << 21)
         w1 = (f1 >> 11) | (f2 << 10)
-        return jnp.concatenate([w_xy, w_zz, w0, w1])
+        return jnp.concatenate([counts, w_xy, w_zz, w0, w1])
 
     return jax.jit(pack)
 
 
-def pack_mesh(out: MarchOut, quantize: bool = True, bucket: int = 16384):
+def pack_mesh(out: MarchOut, quantize: bool = True, bucket: int = 16384,
+              sizes: Optional[Tuple[int, int]] = None):
     """Device-side packing of the compact mesh into ONE int32 buffer for a
     single host transfer (the tunneled host link here moves ~20 MB/s, so
-    bytes are the cost). Returns (packed device array, nv, nt) — the
+    bytes are the cost). Returns ``(packed device array, nvb, ntb)`` — the
     transfer itself happens in :func:`unpack_mesh`, so callers can enqueue
-    the next frame's compute before blocking on the copy.
+    the next frame's compute before blocking on the copy. The true counts
+    travel inside the buffer (2-word device-written header), so this call
+    never blocks on the device.
+
+    ``sizes``: static (n_verts, n_tris) upper bounds to pack, e.g. the
+    previous frame's measured counts x headroom (:meth:`AutoMarcher.pack`).
+    ``None`` packs the full buffers — always correct, ~1.3-2x more bytes on
+    a steady scene. If the true counts exceed ``sizes`` the transfer is
+    truncated; :func:`unpack_mesh` detects this from the header
+    (``return_overflow=True``) and the caller re-packs at full size.
 
     ``quantize``: verts as 10.6 fixed point (uint16 per coordinate, max grid
     1023, error <= 1/128 voxel — at 256^3 that is 6e-5 in world units) and
@@ -487,28 +538,41 @@ def pack_mesh(out: MarchOut, quantize: bool = True, bucket: int = 16384):
     exact float32 coords + int32 faces.
 
     Counts round up to ``bucket`` so the jitted packer compiles once per
-    size class; the decoder drops the padding via the true counts.
+    size class; the decoder drops the padding via the header counts.
     """
-    nv = int(out.n_verts)
-    nt = int(out.n_tris)
-    if nv == 0 or nt == 0:
-        return None, 0, 0
+    cap_v = out.verts_x.shape[0]
+    cap_t = out.faces.shape[0]
     if quantize:
-        assert out.verts_x.shape[0] <= (1 << 21), "21-bit face index packing"
-    nvb = min(-(-nv // bucket) * bucket, out.verts_x.shape[0])
-    ntb = min(-(-nt // bucket) * bucket, out.faces.shape[0])
+        assert cap_v <= (1 << 21), "21-bit face index packing"
+    want_v, want_t = sizes if sizes is not None else (cap_v, cap_t)
+    if want_v <= 0 or want_t <= 0:          # unknown -> full buffers
+        want_v, want_t = cap_v, cap_t
+    nvb = min(-(-want_v // bucket) * bucket, cap_v)
+    ntb = min(-(-want_t // bucket) * bucket, cap_t)
+    counts = jnp.stack([out.n_verts, out.n_tris]).astype(jnp.int32)
     packed = _pack_fn(nvb, ntb, quantize)(out.verts_x, out.verts_y,
-                                          out.verts_z, out.faces)
-    return (packed, nvb, ntb), nv, nt
+                                          out.verts_z, out.faces, counts)
+    return packed, nvb, ntb
 
 
-def unpack_mesh(packed, nv: int, nt: int,
-                quantize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-    """Blocking host transfer + decode of a :func:`pack_mesh` buffer."""
-    if packed is None or nv == 0 or nt == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+def unpack_mesh(packed, quantize: bool = True, return_overflow: bool = False):
+    """Blocking host transfer + decode of a :func:`pack_mesh` buffer.
+    Returns ``(verts [V, 3] f32, faces [F, 3] i64)`` — plus an overflow
+    flag with ``return_overflow`` (true counts exceeded the packed sizes:
+    the mesh is truncated; re-pack with larger ``sizes``)."""
+    empty = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    if packed is None:
+        return empty + (False,) if return_overflow else empty
     buf, nvb, ntb = packed
     host = np.asarray(buf)
+    hdr = host[:2].view(np.int32)
+    nv_true, nt_true = int(hdr[0]), int(hdr[1])
+    overflow = nv_true > nvb or nt_true > ntb
+    nv = min(nv_true, nvb)
+    nt = min(nt_true, ntb)
+    host = host[2:]
+    if nv == 0 or nt == 0:
+        return empty + (overflow,) if return_overflow else empty
     if not quantize:
         vx = host[:nvb][:nv]
         vy = host[nvb:2 * nvb][:nv]
@@ -532,19 +596,23 @@ def unpack_mesh(packed, nv: int, nt: int,
         f1 = (w0 >> 21) | ((w1 & 0x3FF) << 11)
         f2 = w1 >> 10
         faces = np.stack([f0, f1, f2], axis=-1).astype(np.int64)
+    # a truncated vertex table can leave face indices past nv: drop those
+    # faces (the caller re-packs anyway when overflow is reported)
+    if overflow:
+        faces = faces[(faces < nv).all(axis=1)]
     # drop degenerate faces (dedup can merge a triangle's vertices when the
     # iso value sits exactly on a lattice vertex)
     good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) &
             (faces[:, 0] != faces[:, 2]))
-    return verts, faces[good].astype(np.int64)
+    out = (verts, faces[good].astype(np.int64))
+    return out + (overflow,) if return_overflow else out
 
 
 def fetch_mesh(out: MarchOut,
                quantize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """pack + transfer + decode in one call (see pack_mesh/unpack_mesh;
     split them to overlap the host copy with the next frame's compute)."""
-    packed, nv, nt = pack_mesh(out, quantize=quantize)
-    return unpack_mesh(packed, nv, nt, quantize=quantize)
+    return unpack_mesh(pack_mesh(out, quantize=quantize), quantize=quantize)
 
 
 def dedup_triangle_soup(tri_verts: np.ndarray, tri_mask: np.ndarray):

@@ -5,7 +5,7 @@ from icon_tpu.utils.jax_cache import enable; enable()
 from icon_tpu.config import Config, NetConfig
 from icon_tpu.models.hgpifu import HGPIFuNet
 from icon_tpu.recon.engine import ReconEngine, reconstruction_resolutions
-from icon_tpu.recon.marching import AutoMarcher, pack_mesh, unpack_mesh
+from icon_tpu.recon.marching import AutoMarcher
 from icon_tpu.utils.synthetic import synthetic_icon_batch, clothed_human_occ
 from icon_tpu.ops.sdf_fast import build_vertex_face_table
 
@@ -51,7 +51,7 @@ for _ in range(2):
     f = filter_jit(variables, in_t); sync(f)
     occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ)
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_tris)
-    packed, nv, nt = pack_mesh(mesh); v, fc = unpack_mesh(packed, nv, nt)
+    v, fc = marcher.unpack(marcher.pack(mesh))
 
 for it in range(3):
     tc0=time.perf_counter()
@@ -59,9 +59,9 @@ for it in range(3):
     t0=time.perf_counter(); f=filter_jit(variables,in_t); sync(f); t1=time.perf_counter()
     occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ); t2=time.perf_counter()
     mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.faces); t3=time.perf_counter()
-    packed, nv, nt = pack_mesh(mesh); sync(packed); t35=time.perf_counter()
-    v, fc = unpack_mesh(packed, nv, nt); t4=time.perf_counter()
-    print(f"columns {t0-tc0:.3f}  filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-tc0:.3f}  ntris {nt} nverts {nv}")
+    token = marcher.pack(mesh); sync(token[0][0]); t35=time.perf_counter()
+    v, fc = marcher.unpack(token); t4=time.perf_counter()
+    print(f"columns {t0-tc0:.3f}  filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-tc0:.3f}  ntris {len(fc)} nverts {len(v)}")
 print("levels:", {k:int(vv) for k,vv in stats.items() if k.endswith("_points")}, "buckets:", [eng._bucket(l) for l in (1,2)])
 
 # pipelined throughput: enqueue next frame before blocking on fetch
@@ -70,12 +70,12 @@ def compute():
     f = filter_jit(variables, in_t)
     occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,))
     mesh = march_jit(occ, stats["coarse_occ"])
-    return pack_mesh(mesh)
+    return marcher.pack(mesh)
 pending = compute()
 t0 = time.perf_counter(); N=5
 for _ in range(N):
     nxt = compute()            # enqueued (async dispatch)
-    v, fc = unpack_mesh(*pending)   # blocks on previous frame's copy
+    v, fc = marcher.unpack(pending)   # blocks on previous frame's copy
     pending = nxt
 dt = (time.perf_counter()-t0)/N
 print(f"pipelined: {dt:.3f} s/image  ({1/dt:.2f} images/s)")
