@@ -161,9 +161,13 @@ def main():
 
     # marching buffers autotune from the previous frame's measured counts
     # (caps police overflow; surface-bound quantities grow ~quadratically
-    # with resolution)
+    # with resolution). codec="lattice": the host link does not overlap
+    # device compute here, so the serving path transfers marching
+    # generators (edge ids + fractions + cells, ~1.4 MB) instead of
+    # explicit verts+faces (~3.3 MB) and rebuilds faces on host.
     marcher = AutoMarcher(max_cells=max_cells, max_tris=max_tris,
-                          max_verts=(1 << 19) * area_scale, slice_one=True)
+                          max_verts=(1 << 19) * area_scale, slice_one=True,
+                          codec="lattice")
 
     def compute():
         """Enqueue one frame's device work; returns the packed-mesh token.

@@ -17,7 +17,7 @@ import tempfile
 _SRC_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "src")
 _CACHE_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "_build")
 
-_SOURCES = ("imagecodec.cc",)
+_SOURCES = ("imagecodec.cc", "latticecodec.cc")
 _CXXFLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              "-Wall", "-Werror"]
 _LIBS = ["-lz"]

@@ -198,3 +198,45 @@ def test_async_pack_header_counts_and_overflow_retry():
     assert token2[0][0].shape[0] < full_words
     v3, f3 = m.unpack(token2)
     assert len(v3) == len(ref_big2[0]) and len(f3) == len(ref_big2[1])
+
+
+def test_lattice_codec_matches_explicit_mesh():
+    """The lattice wire format (edge ids + fractions + cells, faces rebuilt
+    on host) must reproduce the explicit indexed mesh: identical vertex set
+    up to u8 fraction quantization, identical face set."""
+    import numpy as np
+    import jax.numpy as jnp
+    from icon_tpu.ops.resize import resize3d_trilinear_align_corners
+    from icon_tpu.recon.marching import AutoMarcher, fetch_mesh
+
+    g = np.linspace(-1, 1, 49)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    coarse = jnp.asarray(1 / (1 + np.exp(-(0.55 - np.sqrt(
+        (xx / 0.6) ** 2 + (yy / 0.9) ** 2 + (zz / 0.35) ** 2)) * 8))
+        .astype(np.float32))
+    fine = resize3d_trilinear_align_corners(
+        coarse[None, ..., None], (97, 97, 97))[0, ..., 0]
+
+    for use_coarse in (False, True):
+        ref_m = AutoMarcher(max_cells=1 << 15, max_tris=1 << 17,
+                            max_verts=1 << 16, use_coarse=use_coarse,
+                            slice_one=True)
+        ref_out = ref_m(fine, coarse_occ=coarse if use_coarse else None)
+        rv, rf = fetch_mesh(ref_out)
+
+        lat = AutoMarcher(max_cells=1 << 15, max_tris=1 << 17,
+                          max_verts=1 << 16, use_coarse=use_coarse,
+                          slice_one=True, codec="lattice")
+        for _ in range(2):   # second pass exercises hinted (bucketed) sizes
+            out = lat(fine, coarse_occ=coarse if use_coarse else None)
+            lv, lf = lat.unpack(lat.pack(out))
+
+        assert len(lv) == len(rv), (len(lv), len(rv), use_coarse)
+        assert len(lf) == len(rf), (len(lf), len(rf), use_coarse)
+        # vertex streams are both sorted by edge id -> same order; coords
+        # agree to the u8 fraction step (1/255 of an edge, <= sqrt(3)/255)
+        assert np.abs(lv - rv).max() <= np.sqrt(3) / 255 + 1e-6
+        # identical face sets (vertex indices refer to the same order)
+        fs_r = set(map(tuple, np.sort(rf, axis=1).tolist()))
+        fs_l = set(map(tuple, np.sort(lf, axis=1).tolist()))
+        assert fs_r == fs_l

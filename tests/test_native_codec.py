@@ -165,3 +165,38 @@ def test_decode_releases_gil(tmp_path):
     # GIL-held decode would collapse this toward the sys.setswitchinterval
     # duty cycle (measured ~0.02x); GIL-free stays within the same order.
     assert with_decode > 0.2 * baseline, (with_decode, baseline)
+
+
+def test_native_lattice_decode_matches_numpy():
+    """The C++ lattice decoder must reproduce the numpy fallback
+    bit-for-bit (verts) and as a face set."""
+    import numpy as np
+    import jax.numpy as jnp
+    import icon_tpu.native as native
+    from icon_tpu.recon import marching
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+
+    g = np.linspace(-1, 1, 49)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    occ = jnp.asarray(1 / (1 + np.exp(-(0.6 - np.sqrt(
+        (xx / 0.7) ** 2 + yy ** 2 + (zz / 0.5) ** 2)) * 9))
+        .astype(np.float32))
+    out = marching.marching_lattice(occ, max_cells=1 << 14,
+                                    max_tris=1 << 16, max_verts=1 << 15)
+    packed = marching.pack_lattice(out)
+    packed = (np.asarray(packed[0]), packed[1], packed[2])
+
+    v_nat, f_nat = marching.decode_lattice(packed, 49, 49)
+    saved, saved_tried = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True    # force numpy fallback
+        v_np, f_np = marching.decode_lattice(packed, 49, 49)
+    finally:
+        native._lib, native._tried = saved, saved_tried
+
+    assert (v_nat == v_np).all()
+    assert len(f_nat) == len(f_np)
+    assert set(map(tuple, f_nat.tolist())) == set(map(tuple, f_np.tolist()))
