@@ -166,10 +166,22 @@ class MarchOut(NamedTuple):
 
 
 def _active_cells(occ: jnp.ndarray, iso: float, max_cells: int,
-                  coarse_occ: Optional[jnp.ndarray]):
+                  coarse_occ: Optional[jnp.ndarray],
+                  max_candidates: Optional[int] = None):
     """Stage 1 (shared by the indexed and lattice paths): candidate cell
     coordinates. Returns (cx, cy, cz, cell_idx, alive_cells, n_cells,
-    n_cells_total), each [max_cells] except the scalars."""
+    n_cells_total), each [max_cells] except the scalars.
+
+    The coarse path expands every mixed coarse cell x8 into fine candidates
+    (buffer [max_candidates], default max_cells), then filters to the cells
+    that are EXACTLY mixed at fine resolution before compacting into the
+    [max_cells] output buffer. The mixed test is a separable min/max over
+    the 2x2x2 corner window computed elementwise on the whole bit volume
+    (no per-corner gathers) + ONE 1-wide gather per candidate; it shrinks
+    the alive set ~2.5x (dilation vs true surface), and every downstream
+    static buffer — the 8-corner gather, the per-cell table/edge stages,
+    the packed cell list — shrinks with it through the AutoMarcher's
+    bucket autotuning."""
     D, H, W = occ.shape
     inside = occ > iso
     cw, ch = W - 1, H - 1
@@ -194,7 +206,8 @@ def _active_cells(occ: jnp.ndarray, iso: float, max_cells: int,
         cntc = sum(corner(in_c, c, Dc, Hc, Wc).astype(jnp.int8)
                    for c in range(8))
         mixed = (cntc > 0) & (cntc < 8)
-        nc_budget = max_cells // 8
+        mcand = max_candidates or max_cells
+        nc_budget = mcand // 8
         idxc, n_c, n_mixed_total = _compact_indices(
             mixed.reshape(-1), nc_budget)
         ccz = idxc // ((Hc - 1) * (Wc - 1))
@@ -208,26 +221,39 @@ def _active_cells(occ: jnp.ndarray, iso: float, max_cells: int,
         valid = ((fx >= 0) & (fx < cw) & (fy >= 0) & (fy < ch) &
                  (fz >= 0) & (fz < D - 1) &
                  (jnp.arange(nc_budget)[:, None] < n_c))
-        cx = jnp.clip(fx, 0, cw - 1).reshape(-1)
-        cy = jnp.clip(fy, 0, ch - 1).reshape(-1)
-        cz = jnp.clip(fz, 0, D - 2).reshape(-1)
-        cell_idx = (cz * ch + cy) * cw + cx
-        alive_cells = valid.reshape(-1)
-        n_cells = jnp.sum(alive_cells.astype(jnp.int32))
+        kx = jnp.clip(fx, 0, cw - 1).reshape(-1)
+        ky = jnp.clip(fy, 0, ch - 1).reshape(-1)
+        kz = jnp.clip(fz, 0, D - 2).reshape(-1)
+        cand_idx = (kz * ch + ky) * cw + kx                 # [mcand]
+
+        # exact mixed test: separable all-inside / any-inside reductions
+        ai = inside[:, :, :-1] & inside[:, :, 1:]
+        ao = inside[:, :, :-1] | inside[:, :, 1:]
+        ai = ai[:, :-1] & ai[:, 1:]
+        ao = ao[:, :-1] | ao[:, 1:]
+        mixedv = ((ao[:-1] | ao[1:]) & ~(ai[:-1] & ai[1:])).reshape(-1)
+        alive_cand = valid.reshape(-1) & mixedv[cand_idx]
+
+        cpos, n_cells, n_alive_total = _compact_indices(alive_cand,
+                                                        max_cells)
+        cell_idx = cand_idx[cpos]
+        cx, cy, cz = kx[cpos], ky[cpos], kz[cpos]
+        alive_cells = jnp.arange(max_cells) < n_cells
         # each dropped mixed coarse cell hides up to 8 fine candidates —
         # count them so callers see coarse-candidate overflow
-        n_cells_total = n_cells + 8 * jnp.maximum(n_mixed_total - nc_budget,
-                                                  0)
+        n_cells_total = n_alive_total + 8 * jnp.maximum(
+            n_mixed_total - nc_budget, 0)
     return cx, cy, cz, cell_idx, alive_cells, n_cells, n_cells_total
 
 
 @functools.partial(jax.jit, static_argnames=("max_cells", "max_tris",
-                                             "max_verts"))
+                                             "max_verts", "max_candidates"))
 def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
                                 max_cells: int = 1 << 18,
                                 max_tris: int = 1 << 20,
                                 max_verts: int = 1 << 19,
-                                coarse_occ: Optional[jnp.ndarray] = None
+                                coarse_occ: Optional[jnp.ndarray] = None,
+                                max_candidates: Optional[int] = None
                                 ) -> MarchOut:
     """Extract an indexed mesh from ``occ [D, H, W]`` ([z, y, x] layout),
     fully on device. See module docstring for the pipeline.
@@ -244,7 +270,7 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
 
     # ---- 1. active cells --------------------------------------------------
     cx, cy, cz, cell_idx, alive_cells, n_cells, n_cells_total = \
-        _active_cells(occ, iso, max_cells, coarse_occ)
+        _active_cells(occ, iso, max_cells, coarse_occ, max_candidates)
 
     occ_flat = occ.reshape(-1)
     lin = ((cz[:, None] + _CORNER_OFF[:, 2][None]) * H +
@@ -446,30 +472,57 @@ class LatticeOut(NamedTuple):
     cell_bits: jnp.ndarray     # [max_cells] int32 (low 8 bits: corner config)
     n_verts: jnp.ndarray       # scalar int32 (clamped to max_verts)
     n_cells: jnp.ndarray       # scalar int32 (clamped to max_cells)
-    n_tris: jnp.ndarray        # scalar int32 (clamped to max_tris)
-    n_tris_total: jnp.ndarray
+    n_verts_total: jnp.ndarray  # true count; > n_verts = overflow
     n_cells_total: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("max_cells", "max_tris",
-                                             "max_verts"))
+def _build_edge_slots():
+    """The 19 (lo corner, hi corner, direction) edge slots a cell can OWN.
+
+    Kuhn's 6-tet subdivision contains every edge (o, o + d) with
+    o + d <= 1 per axis (verified exhaustively by the vertex-parity test
+    against the indexed path), so a cell can enumerate every marching
+    vertex it is canonically responsible for straight from its 8 corner
+    values — no (tet, case) tables on the device at all. Interior cells own
+    the 7 edges rooted at their origin; cells on a max boundary also own
+    the o != 0 edges whose lo lattice point has no cell of its own
+    (ownership rule: per axis, o_a == 0 OR the cell is the last one)."""
+    slots = []
+    for o in range(8):
+        for d in range(1, 8):
+            hi = ((o & 1) + (d & 1), ((o >> 1) & 1) + ((d >> 1) & 1),
+                  ((o >> 2) & 1) + ((d >> 2) & 1))
+            if max(hi) <= 1:
+                slots.append((o, hi[0] | (hi[1] << 1) | (hi[2] << 2), d))
+    assert len(slots) == 19
+    return np.array(slots, np.int32)
+
+
+_EDGE_SLOTS = _build_edge_slots()
+
+
+@functools.partial(jax.jit, static_argnames=("max_cells", "max_verts",
+                                             "max_candidates"))
 def marching_lattice(occ: jnp.ndarray, iso: float = 0.5,
                      max_cells: int = 1 << 18,
-                     max_tris: int = 1 << 20,
                      max_verts: int = 1 << 19,
-                     coarse_occ: Optional[jnp.ndarray] = None) -> LatticeOut:
+                     coarse_occ: Optional[jnp.ndarray] = None,
+                     max_candidates: Optional[int] = None) -> LatticeOut:
     """Marching tetrahedra emitting the lattice codec (see section comment):
-    unique vertices as (edge id, u8-able fraction) + active cells as
-    (id, corner bits); faces never materialize on device. Shares stages 1-3
-    with :func:`marching_tetrahedra_indexed`; the dedup sort carries ONE
-    payload (the fraction) instead of three coordinates, and the face
-    scatter disappears."""
+    unique vertices as (edge id, fraction) + active cells as (id, corner
+    bits); faces never materialize on device — the host derives them from
+    the corner bits. Dedup is BY CONSTRUCTION (each lattice edge has
+    exactly one owner cell, see _build_edge_slots), so the whole triangle
+    stage of the indexed path — one-hot table matmuls, a 2M-slot
+    compaction, triangle gathers, and the 1.2M-element dedup sort — is
+    replaced by one [cells, 19] crossing test and one compaction; with the
+    exact mixed-cell filter in _active_cells this measures 2x faster than
+    the indexed kernel at 256^3 serving buckets on v5e (82 -> 42 ms)."""
     D, H, W = occ.shape
-    dt = occ.dtype
     cw, ch = W - 1, H - 1
 
     cx, cy, cz, cell_idx, alive_cells, n_cells, n_cells_total = \
-        _active_cells(occ, iso, max_cells, coarse_occ)
+        _active_cells(occ, iso, max_cells, coarse_occ, max_candidates)
 
     occ_flat = occ.reshape(-1)
     lin = ((cz[:, None] + _CORNER_OFF[:, 2][None]) * H +
@@ -478,80 +531,42 @@ def marching_lattice(occ: jnp.ndarray, iso: float = 0.5,
     cvals = occ_flat[lin]                               # [NC, 8]
     cbits = (cvals > iso).astype(jnp.int32)
 
-    tet_bits = cbits[:, _TETS]
-    case = (tet_bits * jnp.array([1, 2, 4, 8])).sum(-1)
-    e96 = case + 16 * jnp.arange(6)[None]
-    onehot96 = sum(jax.nn.one_hot(e96[:, t], 96, dtype=dt)
-                   for t in range(6))                   # [NC, 96]
+    slots = jnp.asarray(_EDGE_SLOTS)                    # [19, 3]
+    v_lo = cvals[:, _EDGE_SLOTS[:, 0]]                  # [NC, 19]
+    v_hi = cvals[:, _EDGE_SLOTS[:, 1]]
+    crossing = (v_lo > iso) != (v_hi > iso)
+    olo = _CORNER_OFF[_EDGE_SLOTS[:, 0]]                # [19, 3] (x, y, z)
+    own = (((olo[None, :, 0] == 0) | (cx[:, None] == cw - 1)) &
+           ((olo[None, :, 1] == 0) | (cy[:, None] == ch - 1)) &
+           ((olo[None, :, 2] == 0) | (cz[:, None] == D - 2)))
+    valid = crossing & own & alive_cells[:, None]
 
-    ta = jnp.asarray(_T_A)
-    tb = jnp.asarray(_T_B)
-    ax = onehot96 @ ta[..., 0]
-    ay = onehot96 @ ta[..., 1]
-    az = onehot96 @ ta[..., 2]
-    bx = onehot96 @ tb[..., 0]
-    by = onehot96 @ tb[..., 1]
-    bz = onehot96 @ tb[..., 2]
+    denom = v_hi - v_lo
+    s = jnp.clip((iso - v_lo) / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+    plin = ((cz[:, None] + olo[None, :, 2]) * H +
+            (cy[:, None] + olo[None, :, 1])) * W + \
+        (cx[:, None] + olo[None, :, 0])
+    eid = plin * 8 + slots[None, :, 2]                  # [NC, 19]
 
-    outer = (onehot96[:, :, None] * cvals[:, None, :]).reshape(-1, 96 * 8)
-    va = outer @ jnp.asarray(_VAL_A.transpose(0, 2, 1).reshape(96 * 8, 36))
-    vb = outer @ jnp.asarray(_VAL_B.transpose(0, 2, 1).reshape(96 * 8, 36))
-    denom = vb - va
-    t = jnp.where(jnp.abs(denom) < 1e-12, 0.5, (iso - va) / denom)
-    t = jnp.clip(t, 0.0, 1.0)                           # [NC, 36] (from a)
+    vpos, n_verts, n_verts_total = _compact_indices(
+        valid.reshape(-1), max_verts)
+    vert_eid = eid.reshape(-1)[vpos]
+    vert_s = s.reshape(-1)[vpos]
+    # canonical wire order (ascending edge id — matches the indexed path's
+    # vertex order and keeps the numpy decode a plain searchsorted); dead
+    # padded slots sort to the tail as sentinels
+    vert_eid = jnp.where(jnp.arange(max_verts) < n_verts, vert_eid,
+                         jnp.int32(2 ** 31 - 1))
+    vert_eid, vert_s = jax.lax.sort((vert_eid, vert_s), num_keys=1)
 
-    ga_x = cx[:, None] + ax.astype(jnp.int32)
-    ga_y = cy[:, None] + ay.astype(jnp.int32)
-    ga_z = cz[:, None] + az.astype(jnp.int32)
-    gb_x = cx[:, None] + bx.astype(jnp.int32)
-    gb_y = cy[:, None] + by.astype(jnp.int32)
-    gb_z = cz[:, None] + bz.astype(jnp.int32)
-    a_lin = (ga_z * H + ga_y) * W + ga_x
-    b_lin = (gb_z * H + gb_y) * W + gb_x
-    lo = jnp.minimum(a_lin, b_lin)
-    dx = jnp.abs(gb_x - ga_x)
-    dy = jnp.abs(gb_y - ga_y)
-    dz = jnp.abs(gb_z - ga_z)
-    edge_id = lo * 8 + (dx + 2 * dy + 4 * dz)           # [NC, 36]
-    # the host reconstructs from the LO end: s = t when a is the lo end,
-    # 1 - t when b is (t is always measured from corner a)
-    s = jnp.where(a_lin <= b_lin, t, 1.0 - t)
-
-    slot_valid = (onehot96 @ jnp.asarray(_TV96)) > 0.5
-    slot_valid = (slot_valid & alive_cells[:, None]).reshape(-1)
-    tri_idx, n_tris, n_tris_total = _compact_indices(slot_valid, max_tris)
-    tri_alive = jnp.arange(max_tris) < n_tris
-
-    def tri_gather(plane):
-        flat = plane.reshape(-1, 12, 3).reshape(-1, 3)
-        return flat[tri_idx]
-
-    teid = tri_gather(edge_id)
-    teid = jnp.where(tri_alive[:, None], teid, jnp.int32(2 ** 31 - 1))
-    ts = tri_gather(s)
-
-    sk, ss = jax.lax.sort((teid.reshape(-1), ts.reshape(-1)), num_keys=1)
-    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
-    first = first & (sk != 2 ** 31 - 1)
-    n_verts = jnp.sum(first.astype(jnp.int32))
-    vpos, _, _ = _compact_indices(first, max_verts)
-    vert_eid = sk[vpos]
-    vert_s = ss[vpos]
-
-    # compact the cell list (dense mode: already compact; coarse mode: the
-    # 8x expansion leaves dead slots interleaved)
+    # the cell list arrives compact from _active_cells in both modes; padded
+    # slots past n_cells carry clamped garbage the decoder never reads
     cbyte = (cbits * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128])).sum(-1)
-    if coarse_occ is None:
-        cell_id_c, cell_bits_c = cell_idx, cbyte
-    else:
-        cpos, _, _ = _compact_indices(alive_cells, max_cells)
-        cell_id_c = cell_idx[cpos]
-        cell_bits_c = cbyte[cpos]
 
-    return LatticeOut(vert_eid, vert_s, cell_id_c, cell_bits_c,
+    return LatticeOut(vert_eid, vert_s, cell_idx, cbyte,
                       jnp.minimum(n_verts, max_verts),
                       jnp.minimum(n_cells, max_cells),
-                      n_tris, n_tris_total, n_cells_total)
+                      n_verts_total, n_cells_total)
 
 
 @functools.lru_cache(maxsize=64)
@@ -749,6 +764,16 @@ class AutoMarcher:
         c = self._counts()
         if c is None:
             return self.caps
+        if self.codec == "lattice":
+            # lattice measures (n_cells_total, n_verts_total) directly;
+            # there is no triangle buffer to size
+            ncells, nverts = c[0], c[1]
+            if ncells <= 0 or nverts <= 0 or ncells > self.caps[0] \
+                    or nverts > self.caps[2]:
+                return self.caps                   # overflow -> reset
+            mc = self._bucket(int(ncells * self.headroom), self.caps[0])
+            mv = self._bucket(int(nverts * self.headroom), self.caps[2])
+            return mc, self.caps[1], mv
         ncells, ntris = c[0], c[1]
         if ncells <= 0 or ntris <= 0 or ncells > self.caps[0] \
                 or ntris > self.caps[1]:
@@ -770,9 +795,19 @@ class AutoMarcher:
             def fn(occ, coarse_occ, mc=mc, mt=mt, mv=mv, kernel=kernel):
                 if self.slice_one:
                     occ = occ[1:, 1:, 1:]
+                # the candidate (pre-exact-filter) buffer stays at the cap:
+                # autotuned mc tracks the ~2.5x smaller exact mixed set, and
+                # shrinking the candidate stage with it would overflow the
+                # coarse expansion
+                mcand = self.caps[0]
+                if kernel is marching_lattice:
+                    return kernel(occ, iso=self.iso, max_cells=mc,
+                                  max_verts=mv, coarse_occ=coarse_occ,
+                                  max_candidates=mcand)
                 return kernel(
                     occ, iso=self.iso, max_cells=mc, max_tris=mt,
-                    max_verts=mv, coarse_occ=coarse_occ)
+                    max_verts=mv, coarse_occ=coarse_occ,
+                    max_candidates=mcand)
             self._jit_cache[key] = jax.jit(fn)
         d0 = 1 if self.slice_one else 0
         self._dims = (occ.shape[1] - d0, occ.shape[2] - d0)
@@ -780,8 +815,12 @@ class AutoMarcher:
             occ, coarse_occ=coarse_occ if self.use_coarse else None)
         # counts are read lazily NEXT frame (and pre-fetched async) so this
         # call never blocks — autotuning must not serialize the pipeline
-        self._last = jnp.stack([out.n_cells_total, out.n_tris_total,
-                                out.n_verts, out.n_tris])
+        if self.codec == "lattice":
+            self._last = jnp.stack([out.n_cells_total, out.n_verts_total,
+                                    out.n_verts, out.n_cells])
+        else:
+            self._last = jnp.stack([out.n_cells_total, out.n_tris_total,
+                                    out.n_verts, out.n_tris])
         try:
             self._last.copy_to_host_async()
         except Exception:
@@ -796,7 +835,7 @@ class AutoMarcher:
         on this frame's transfer. The wire format follows ``self.codec``."""
         c = self._counts()
         if self.codec == "lattice":
-            sizes = (int(c[2] * self.headroom),
+            sizes = (int(c[1] * self.headroom),
                      int(c[0] * self.headroom)) if c is not None else None
             packed = pack_lattice(out, sizes=sizes)
             return packed, out, self._dims

@@ -82,7 +82,11 @@ amortize("engine (3 levels + upsample)", lambda: eng(query_fn, jit_levels=True, 
 l0 = eng._jit_cache[[k for k in eng._jit_cache if k[0]=="l0"][0]]
 amortize("  level0 33^3 dense", lambda: l0(cz), lambda o: o[0])
 occ0, ev0 = l0(cz)
-steps = sorted([k for k in eng._jit_cache if isinstance(k[0], tuple) and k[0][0]=="step"], key=lambda k: k[0][1])
+by_level = {}
+for k in eng._jit_cache:
+    if isinstance(k[0], tuple) and k[0][0] == "step":
+        by_level[k[0][1]] = k         # last-inserted bucket per level wins
+steps = [by_level[lv] for lv in sorted(by_level)]
 state = (occ0, ev0)
 for k in steps:
     fn = eng._jit_cache[k]
@@ -95,3 +99,18 @@ if ups:
     amortize("  final upsample -> 257^3", lambda: fn(state[0]), lambda o: o)
 amortize("march (tables+compact+sort)", lambda: marcher(occ, coarse_occ=stats["coarse_occ"]), lambda o: o.faces)
 amortize("pack", lambda: marcher.pack(mesh)[0][0], lambda o: o)
+
+# lattice-codec march + pack (the serving path)
+lat = AutoMarcher(max_cells=1<<18, max_tris=1<<19, max_verts=1<<19,
+                  slice_one=True, codec="lattice")
+for _ in range(3):
+    out = lat(occ, coarse_occ=stats["coarse_occ"])
+    v, fc = lat.unpack(lat.pack(out))
+outl = lat(occ, coarse_occ=stats["coarse_occ"])
+amortize("march lattice", lambda: lat(occ, coarse_occ=stats["coarse_occ"]), lambda o: o.vert_eid)
+amortize("pack lattice", lambda: lat.pack(outl)[0][0], lambda o: o)
+import time as _t
+t0=_t.perf_counter()
+for _ in range(5):
+    v, fc = lat.unpack(lat.pack(outl))
+print(f"{'pack+fetch+decode lattice':34s} {(_t.perf_counter()-t0)/5*1e3:8.2f} ms   ({len(fc)} faces)")

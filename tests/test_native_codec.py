@@ -185,7 +185,7 @@ def test_native_lattice_decode_matches_numpy():
         (xx / 0.7) ** 2 + yy ** 2 + (zz / 0.5) ** 2)) * 9))
         .astype(np.float32))
     out = marching.marching_lattice(occ, max_cells=1 << 14,
-                                    max_tris=1 << 16, max_verts=1 << 15)
+                                    max_verts=1 << 15)
     packed = marching.pack_lattice(out)
     packed = (np.asarray(packed[0]), packed[1], packed[2])
 
