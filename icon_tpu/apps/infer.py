@@ -185,9 +185,10 @@ def main():
             if k.endswith("overflow") and int(v) > 0:
                 print(f"  WARNING: recon {k}={int(v)} — geometry may be "
                       "lost; raise engine budgets")
+        # extract_mesh restores the dropped-first-slice index internally
+        # (recon/export.py), so only the engine's y-flip remains
         verts, faces = extract_mesh(occ)
-        shift = 2.0 / (eng.resolutions[-1] - 1)
-        verts = (verts + shift) * np.array([1, -1, 1], np.float32)
+        verts = verts * np.array([1, -1, 1], np.float32)
         if cfg.clean_mesh:
             verts, faces = clean_mesh(verts, faces)
         print(f"  recon: {len(verts)} verts, {len(faces)} faces")

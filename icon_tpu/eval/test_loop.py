@@ -103,13 +103,10 @@ def run_evaluation(cfg, dataset, net, variables,
                   "EMPTY recon, skipped")
             continue
         # engine world -> calib space; world = grid_normalized * (1,-1,1)
-        # (engine B_MIN/B_MAX y-flip, recon/engine.py:34-35). The export
-        # convention (matching the reference, seg3d_lossless.py:585 +
-        # ICON.py:757-759) drops the first grid slice and normalizes
-        # without adding it back — a one-voxel offset we correct here so
-        # metrics measure geometry, not the shared export convention.
-        shift = 2.0 / (engine.resolutions[-1] - 1)
-        world = (verts_pr + shift) * np.array([1, -1, 1], np.float32)
+        # (engine B_MIN/B_MAX y-flip, recon/engine.py:34-35). extract_mesh
+        # already restores the dropped-first-slice index (recon/export.py),
+        # so no further offset belongs here — metrics measure geometry.
+        world = verts_pr * np.array([1, -1, 1], np.float32)
         pr_ndc = world_to_ndc(world, item["calib"])
         gt_ndc = projection_np(item["verts"], item["calib"])
 

@@ -503,7 +503,8 @@ def build_column_bins(verts: np.ndarray, faces: np.ndarray,
 def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
                                    bins: jnp.ndarray, meta: jnp.ndarray,
                                    col_x: jnp.ndarray, col_y: jnp.ndarray,
-                                   max_cross: int = 32, G: int = 4
+                                   max_cross: int = 32, G: int = 4,
+                                   tiles_per_step: int = 64
                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-blocked per-frame rasterization: one face-list gather per
     G x G column block (build_column_bins), dense crossing math for the
@@ -564,7 +565,7 @@ def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
         return -small, hit.sum(-1).astype(jnp.int32)
 
     n_total = n_x * n_y
-    TB = 64                       # tiles per map step (parallelism vs VMEM)
+    TB = tiles_per_step           # tiles per map step (parallelism vs VMEM)
     padt = (-n_total) % TB
     ids = jnp.concatenate([jnp.arange(n_total),
                            jnp.zeros((padt,), jnp.int32)])
