@@ -155,6 +155,8 @@ def main():
     step_fn = jax.jit(train_step, donate_argnums=0)
     eval_fn = jax.jit(eval_step)
     logger = MetricLogger(ckpt_dir)
+    from icon_tpu.config import export_cfg
+    export_cfg(cfg, ckpt_dir)   # per-run snapshot (train_util.py:589-597)
 
     def prep(batch):
         batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}

@@ -90,6 +90,8 @@ def main():
     step_fn = jax.jit(normal_train_step, donate_argnums=0)
     eval_fn = jax.jit(functools.partial(normal_eval_step, vgg=vgg))
     logger = MetricLogger(ckpt_dir, "normal")
+    from icon_tpu.config import export_cfg
+    export_cfg(cfg, ckpt_dir)   # per-run snapshot (train_util.py:589-597)
 
     def prep(batch):
         return shard_batch({k: v for k, v in batch.items()

@@ -232,3 +232,33 @@ def load_config(yaml_path: Optional[str] = None,
             leaf[parts[-1]] = value
             cfg = _merge_into(cfg, node)
     return cfg
+
+
+def export_cfg(cfg: Config, run_dir: str) -> str:
+    """Snapshot the fully-merged config into the run directory (reference
+    lib/common/train_util.py:589-597 export_cfg): every run records the
+    exact hyperparameters it trained with, so checkpoints are always
+    reproducible from their own directory. Write-once like the reference
+    (an interrupted+resumed run keeps its original snapshot)."""
+    import dataclasses
+    import os
+
+    path = os.path.join(run_dir, "cfg.yaml")
+    if not os.path.exists(path):
+        os.makedirs(run_dir, exist_ok=True)
+        tree = dataclasses.asdict(cfg)
+
+        def listify(x):
+            # tuples (channel specs, mlp dims) dump as YAML lists that
+            # load_config re-coerces on read; round-trip tested
+            if isinstance(x, tuple):
+                return [listify(v) for v in x]
+            if isinstance(x, list):
+                return [listify(v) for v in x]
+            if isinstance(x, dict):
+                return {k: listify(v) for k, v in x.items()}
+            return x
+
+        with open(path, "w") as f:
+            yaml.safe_dump(listify(tree), f, sort_keys=False)
+    return path

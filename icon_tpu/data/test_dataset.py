@@ -225,6 +225,72 @@ class TestDataset:
         item["trans"] = np.array([tranX, tranY, 0.0], np.float32)
         return item
 
+    def visualize_alignment(self, item: Dict[str, Any],
+                            out_path: str) -> str:
+        """Headless HPS<->image alignment check (reference
+        TestDataset.py:301-354 + the __main__ harness :357-380).
+
+        The reference opens an interactive vedo window with the input
+        photo, the fitted body's front/back normal renders, and the
+        untextured mesh. TPU hosts are headless, so the same three views
+        are rasterized with the tile rasterizer and written as one PNG
+        strip instead: [input+front overlay | front normals | back
+        normals]. A misaligned HPS fit shows up as the body silhouette
+        drifting off the person in the left panel.
+        """
+        import jax.numpy as jnp
+        from PIL import Image
+        from icon_tpu.render.render import render_normal
+
+        body = self.hps.body
+        nb = item["body_pose"].shape[1]
+        v0, _ = body.forward(
+            betas=jnp.asarray(item["betas"]),
+            global_orient=jnp.asarray(item["global_orient"]).reshape(1, 9),
+            body_pose=jnp.asarray(item["body_pose"]).reshape(1, nb * 9),
+            pose2rot=False)
+        verts = (v0[0] + jnp.asarray(item["trans"])[None]) * item["scale"]
+        faces = jnp.asarray(item["smpl_faces"])
+        size = int(item["image"].shape[0])
+        nF, _ = render_normal(verts, faces, size=size)
+        nB, _ = render_normal(verts, faces, size=size, azimuth=180.0)
+
+        def to_u8(a):
+            return np.clip((np.asarray(a) * 0.5 + 0.5) * 255.0,
+                           0, 255).astype(np.uint8)
+
+        img, front, back = (to_u8(item["image"]), to_u8(nF), to_u8(nB))
+        overlay = (img.astype(np.float32) * 0.5 +
+                   front.astype(np.float32) * 0.5).astype(np.uint8)
+        panel = np.concatenate([overlay, front, back], axis=1)
+        Image.fromarray(panel).save(out_path)
+        return out_path
+
+
+def main():
+    """CLI mirror of the reference's TestDataset __main__ harness
+    (TestDataset.py:357-380): iterate a directory of photos and write an
+    alignment panel per image."""
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(description="HPS alignment visualization")
+    ap.add_argument("-i", "--in_dir", required=True)
+    ap.add_argument("-o", "--out_dir", default="./results/alignment")
+    ap.add_argument("--hps_type", default="pymaf")
+    ap.add_argument("--hps_ckpt", default="")
+    ap.add_argument("--allow_random_hps", action="store_true")
+    args = ap.parse_args()
+
+    ds = TestDataset(args.in_dir, hps_type=args.hps_type,
+                     hps_ckpt=args.hps_ckpt,
+                     allow_random_hps=args.allow_random_hps)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(len(ds)):
+        item = ds[i]
+        out = osp.join(args.out_dir, f"{item['name']}_alignment.png")
+        print(ds.visualize_alignment(item, out))
+
 
 class PyMAFWrapper:
     """Callable HPS: [B,224,224,3] -> final-iteration smpl_out dict."""
@@ -436,3 +502,7 @@ def get_hps(hps_type: str = "pymaf", ckpt: str = ""):
     raise NotImplementedError(
         f"hps_type {hps_type!r} unknown "
         "(available: pymaf, pare, hybrik, pixie, bev)")
+
+
+if __name__ == "__main__":
+    main()
