@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -417,8 +417,7 @@ def build_crossing_columns(verts: jnp.ndarray, faces: jnp.ndarray,
 
 def build_column_bins(verts: np.ndarray, faces: np.ndarray,
                       col_x: np.ndarray, col_y: np.ndarray, G: int = 4,
-                      min_cap: int = 32
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+                      min_cap: int = 32, compact: bool = False):
     """Host precompute for the tile-blocked column rasterizer: face bins
     over G x G blocks of the *column lattice* itself (so the device build
     needs one face-list gather per tile, shared by its G^2 columns,
@@ -426,7 +425,17 @@ def build_column_bins(verts: np.ndarray, faces: np.ndarray,
 
     col_x [W] / col_y [H] must be uniform (linspace; descending ok).
     Returns (bins [n_tiles, T] int32 face_id+1, meta [6] f32 =
-    (x0, y0, inv_step_x, inv_step_y, eps, G))."""
+    (x0, y0, inv_step_x, inv_step_y, eps, G)).
+
+    ``compact``: additionally drop empty tiles — a human body projects
+    onto ~10% of the 257^2 lattice tiles (measured 498/4225 nonzero at
+    G=4 on the bench body), so the dense pass burns ~8x its useful
+    compute on all-padding tiles. Returns (bins [Nt, T], meta,
+    tile_ids [Nt] int32) where Nt is the nonzero-tile count padded to a
+    multiple of 32 with id -1; feed tile_ids straight to
+    :func:`build_crossing_columns_blocked`, which scatters the per-tile
+    results back into the full lattice (empty columns: +inf depths,
+    count 0 — parity over the even max_cross pad stays correct)."""
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces)
     col_x = np.asarray(col_x, np.float64)
@@ -497,20 +506,38 @@ def build_column_bins(verts: np.ndarray, faces: np.ndarray,
     eps = 1e-6 * float(max(abs(sx) * W, abs(sy) * H))
     meta = np.array([col_x[0], col_y[0], 1.0 / sx, 1.0 / sy, eps,
                      float(G)], np.float32)
-    return bins, meta
+    if not compact:
+        return bins, meta
+    nz = np.nonzero(counts > 0)[0].astype(np.int32)
+    nt = max(len(nz), 1)
+    npad = -(-nt // 32) * 32
+    tile_ids = np.full((npad,), -1, np.int32)
+    tile_ids[:len(nz)] = nz
+    bins_c = np.zeros((npad, T), np.int32)
+    bins_c[:len(nz)] = bins[nz]
+    return bins_c, meta, tile_ids
 
 
 def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
                                    bins: jnp.ndarray, meta: jnp.ndarray,
                                    col_x: jnp.ndarray, col_y: jnp.ndarray,
                                    max_cross: int = 32, G: int = 4,
-                                   tiles_per_step: int = 64
+                                   tiles_per_step: int = 64,
+                                   tile_ids: Optional[jnp.ndarray] = None
                                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-blocked per-frame rasterization: one face-list gather per
     G x G column block (build_column_bins), dense crossing math for the
     block's columns. Returns (cross_z [H*W, C] row-major iy*W+ix,
     counts [H*W] int32). ~10x fewer gathered rows than the per-column
-    build (measured 218 ms -> ~20 ms per 257^2 frame on v5e)."""
+    build (measured 218 ms -> ~20 ms per 257^2 frame on v5e).
+
+    ``tile_ids`` (from ``build_column_bins(..., compact=True)``): run the
+    crossing math only over the listed nonzero tiles — ``bins`` row i
+    belongs to lattice tile ``tile_ids[i]``; ids of -1 are padding. The
+    per-tile results scatter back into the full lattice (+inf depths /
+    zero counts elsewhere). A human body leaves ~90% of lattice tiles
+    empty, so this is ~5x faster end to end (measured 41 ms -> 8 ms at
+    257^2 / 20480 faces on v5e)."""
     W = col_x.shape[0]
     H = col_y.shape[0]
     n_x = -(-W // G)
@@ -536,14 +563,15 @@ def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
                                                 col_y.dtype)])
     eps = meta[4]
 
-    def tiles_batch(ts):                                  # [B] tile ids
+    def tiles_batch(rows_ts):                     # [B, 2] (bins row, tile id)
+        rows, ts = rows_ts[:, 0], jnp.maximum(rows_ts[:, 1], 0)
         ti = ts % n_x
         tj = ts // n_x
         xs = colx_pad[ti[:, None] * G + offs[None]] + eps   # [B, G]
         ys = coly_pad[tj[:, None] * G + offs[None]] + eps
         qx = jnp.tile(xs, (1, G))[..., None]              # [B, G*G, 1]
         qy = jnp.repeat(ys, G, axis=1)[..., None]
-        slot = bins[ts]                                   # [B, T]
+        slot = bins[rows]                                 # [B, T]
         fmsk = slot > 0
         p = packed[jnp.maximum(slot - 1, 0)]              # [B, T, 18]
 
@@ -565,13 +593,32 @@ def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
         return -small, hit.sum(-1).astype(jnp.int32)
 
     n_total = n_x * n_y
-    TB = tiles_per_step           # tiles per map step (parallelism vs VMEM)
-    padt = (-n_total) % TB
-    ids = jnp.concatenate([jnp.arange(n_total),
-                           jnp.zeros((padt,), jnp.int32)])
-    zv, cnt = jax.lax.map(tiles_batch, ids.reshape(-1, TB))
-    zv = zv.reshape(-1, G * G, zv.shape[-1])[:n_total]
-    cnt = cnt.reshape(-1, G * G)[:n_total]
+    if tile_ids is None:
+        TB = tiles_per_step       # tiles per map step (parallelism vs VMEM)
+        padt = (-n_total) % TB
+        ids = jnp.concatenate([jnp.arange(n_total),
+                               jnp.zeros((padt,), jnp.int32)])
+        rows_ts = jnp.stack([ids, ids], -1)
+        zv, cnt = jax.lax.map(tiles_batch, rows_ts.reshape(-1, TB, 2))
+        zv = zv.reshape(-1, G * G, zv.shape[-1])[:n_total]
+        cnt = cnt.reshape(-1, G * G)[:n_total]
+    else:
+        nt = tile_ids.shape[0]
+        TB = min(tiles_per_step, nt)
+        padt = (-nt) % TB
+        ids = jnp.concatenate([tile_ids,
+                               jnp.full((padt,), -1, jnp.int32)])
+        rows = jnp.arange(nt + padt, dtype=jnp.int32)     # bins row order
+        rows_ts = jnp.stack([jnp.minimum(rows, nt - 1), ids], -1)
+        zb, cb = jax.lax.map(tiles_batch, rows_ts.reshape(-1, TB, 2))
+        C = zb.shape[-1]
+        zb = zb.reshape(-1, G * G, C)
+        cb = cb.reshape(-1, G * G)
+        safe = jnp.where(ids < 0, n_total, ids)           # pad -> dropped
+        zv = jnp.full((n_total, G * G, C), jnp.inf,
+                      zb.dtype).at[safe].set(zb, mode="drop")
+        cnt = jnp.zeros((n_total, G * G),
+                        jnp.int32).at[safe].set(cb, mode="drop")
     # [n_tiles = tj*n_x+ti, G*G = gy*G+gx, C] -> [H*W] row-major iy*W+ix
     C = zv.shape[-1]
     zv = zv.reshape(n_y, n_x, G, G, C)          # (tj, ti, gy, gx, C)

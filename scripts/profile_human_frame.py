@@ -42,7 +42,8 @@ def query_fn(pts, cross_z):
     preds = net.apply(variables, features, pts, batch["calib"], smpl, False, method=net.query)[-1]
     return preds*1e-6 + clothed_human_occ(pts)[..., None]
 
-marcher = AutoMarcher(max_cells=1<<18, max_tris=1<<19, max_verts=1<<19, slice_one=True)
+marcher = AutoMarcher(max_cells=1<<18, max_tris=1<<19, max_verts=1<<19, slice_one=True,
+                      codec="lattice")
 march_jit = lambda occ, coarse: marcher(occ, coarse_occ=coarse)
 
 def sync(x): jax.block_until_ready(x)
