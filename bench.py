@@ -123,16 +123,19 @@ def main():
     col_x_np = np.linspace(-1.0, 1.0, res1, dtype=np.float32)
     col_y_np = np.linspace(1.0, -1.0, res1,
                            dtype=np.float32)   # engine B_MIN/B_MAX y-flip
-    cb, cm = build_column_bins(np.asarray(batch["smpl_verts"][0]),
-                               np.asarray(batch["smpl_faces"]),
-                               col_x_np, col_y_np)
-    cb, cm = jnp.asarray(cb), jnp.asarray(cm)
+    # compact=True: only the ~10% occupied lattice tiles run the crossing
+    # math (measured 41 ms -> 8 ms at 257^2; empty tiles scatter back as
+    # +inf/0 — equivalence pinned by tests/test_sdf_fast.py)
+    cb, cm, tids = build_column_bins(np.asarray(batch["smpl_verts"][0]),
+                                     np.asarray(batch["smpl_faces"]),
+                                     col_x_np, col_y_np, compact=True)
+    cb, cm, tids = jnp.asarray(cb), jnp.asarray(cm), jnp.asarray(tids)
     col_x, col_y = jnp.asarray(col_x_np), jnp.asarray(col_y_np)
     cross_meta = jnp.asarray(
         [-1.0, 1.0, (res1 - 1) / 2.0, (res1 - 1) / -2.0,
          float(res1), float(res1)], jnp.float32)
     columns_jit = jax.jit(lambda v: build_crossing_columns_blocked(
-        v, smpl_feat["smpl_faces"], cb, cm, col_x, col_y))
+        v, smpl_feat["smpl_faces"], cb, cm, col_x, col_y, tile_ids=tids))
     smpl_feat["smpl_cross_meta"] = cross_meta
 
     filter_jit = jax.jit(lambda v, t: net.apply(v, t, train=False,

@@ -47,6 +47,10 @@ def main():
     ap.add_argument("-img_size", type=int, default=512,
                     help="working resolution for crops/renders/refinement")
     ap.add_argument("-export_video", action="store_true")
+    ap.add_argument("-num_devices", type=int, default=1,
+                    help="point-shard the occupancy queries over an "
+                    "n-device 1-D mesh (SURVEY §2.4 inference point "
+                    "parallelism); 1 = single-chip")
     ap.add_argument("-no_remesh", action="store_true")
     ap.add_argument("-allow_random_hps", action="store_true",
                     help="proceed with a random-init HPS (smoke tests only; "
@@ -90,7 +94,25 @@ def main():
     calib = jnp.asarray((calib8[4:8] @ calib8[:4])[None])  # render->calib
 
     variables = None
-    eng = ReconEngine(reconstruction_resolutions(args.mcube_res))
+    # point-sharded recon (SURVEY §2.4): the engine's per-level point
+    # buffers pad to the mesh size and shard_map splits the N axis across
+    # devices; XLA all-gathers the per-device occupancy slices back
+    mesh = None
+    if args.num_devices > 1:
+        from icon_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < args.num_devices:
+            raise SystemExit(
+                f"-num_devices {args.num_devices} but only "
+                f"{len(jax.devices())} devices visible")
+        mesh = make_mesh(args.num_devices)
+        print(f"[infer] point-sharding recon over {mesh.size} devices")
+        if cfg.net.norm_mlp == "group":
+            print("[infer] WARNING: norm_mlp=group normalizes over the "
+                  "point axis — sharded stats differ from single-device "
+                  "(published ckpts use norm_mlp=batch, which is "
+                  "shard-exact; see parallel.mesh.shard_query)")
+    eng = ReconEngine(reconstruction_resolutions(args.mcube_res),
+                      pad_multiple=mesh.size if mesh else 1)
 
     for idx in range(len(dataset)):
         data = dataset[idx]
@@ -135,13 +157,17 @@ def main():
 
         # --- SMPL body fitting ---
         fit_params = init
+        fit_frames = []
         if args.loop_smpl > 0 and cfg.net.prior_type != "pifu":
             import time as _time
             _t0 = _time.perf_counter()
-            smpl_verts, (nmlF, nmlB), losses, fit_params = refine_smpl_live(
+            (smpl_verts, (nmlF, nmlB), losses, fit_params,
+             fit_frames) = refine_smpl_live(
                 body, body_faces, image, init, normal_fn, scale,
                 iters=args.loop_smpl, patience=args.patience,
-                size=args.img_size, mask=jnp.asarray(data["mask"]))
+                size=args.img_size, mask=jnp.asarray(data["mask"]),
+                capture_every=max(args.loop_smpl // 20, 1)
+                if args.export_video or args.loop_smpl > 1 else 0)
             print(f"  smpl fit: {losses[0]:.4f} -> {losses[-1]:.4f} "
                   f"({_time.perf_counter() - _t0:.1f}s)", flush=True)
             smpl_verts = jnp.asarray(smpl_verts)
@@ -163,6 +189,29 @@ def main():
                                     "T_normal_F": T_nF[None],
                                     "T_normal_B": T_nB[None]})
 
+        # --- SMPL-fit artifacts (reference apps/infer.py:288-364):
+        # the fitted body mesh, its parameters, the fit-progression gif,
+        # and the input/cloth-normal overlap panel ---
+        if cfg.net.prior_type != "pifu":
+            save_obj(osp.join(args.out_dir, f"{name}_smpl.obj"),
+                     np.asarray(smpl_verts) * np.array([1, -1, 1],
+                                                       np.float32),
+                     np.asarray(body_faces))
+            np.save(osp.join(args.out_dir, f"{name}_smpl.npy"),
+                    {"betas": np.asarray(fit_params["betas"]),
+                     "pose": np.asarray(fit_params["body_pose"]),
+                     "orient": np.asarray(fit_params["global_orient"]),
+                     "trans": np.asarray(fit_params["trans"]),
+                     "scale": scale},
+                    allow_pickle=True)
+            if fit_frames:
+                from icon_tpu.utils.io import save_gif
+                save_gif(osp.join(args.out_dir, f"{name}_smpl.gif"),
+                         fit_frames, fps=2)
+        _export_overlap(osp.join(args.out_dir, f"{name}_overlap.png"),
+                        np.asarray(data["image"]), np.asarray(nmlF[0]),
+                        np.asarray(data["mask"]))
+
         in_t = {"image": image[None], "normal_F": nmlF, "normal_B": nmlB}
 
         # --- implicit reconstruction ---
@@ -180,7 +229,13 @@ def main():
             return net.apply(variables, features, pts, calib,
                              smpl_feat, False, method=net.query)[-1]
 
-        occ, stats = eng(query_fn, jit_levels=True)
+        if mesh is not None:
+            from icon_tpu.parallel.mesh import shard_query
+            with mesh:
+                occ, stats = eng(shard_query(query_fn, mesh),
+                                 jit_levels=True)
+        else:
+            occ, stats = eng(query_fn, jit_levels=True)
         for k, v in stats.items():
             if k.endswith("overflow") and int(v) > 0:
                 print(f"  WARNING: recon {k}={int(v)} — geometry may be "
@@ -279,7 +334,8 @@ def _init_variables(net, image, body, body_faces, args):
                  else None)
     if torch_geo or torch_nrm:
         from icon_tpu.utils.torch_port import (load_torch_state,
-                                               port_icon_checkpoint)
+                                               port_icon_checkpoint,
+                                               scope_summary)
         params, stats, log = port_icon_checkpoint(
             variables["params"],
             icon_state=load_torch_state(torch_geo) if torch_geo else None,
@@ -292,6 +348,10 @@ def _init_variables(net, image, body, body_faces, args):
         print(f"  ported {len(log)} torch tensors "
               f"({'geometry ' if torch_geo else ''}"
               f"{'normal' if torch_nrm else ''})", flush=True)
+        # per-scope landing check: every ported scope should show a trained
+        # (non-init) weight norm (torch_port.scope_summary)
+        for line in scope_summary(params):
+            print(f"    {line}", flush=True)
     for ck, rename in ((args.ckpt, None),
                        (args.normal_ckpt, {"netG": "normal_filter"})):
         if ck and osp.isdir(ck):
@@ -348,12 +408,15 @@ def _icon_feats(smpl_verts, body_faces, calib, lattice_res=None):
         import jax
         cxn = np.linspace(-1.0, 1.0, lattice_res, dtype=np.float32)
         cyn = np.linspace(1.0, -1.0, lattice_res, dtype=np.float32)
-        cb, cm = build_column_bins(np.asarray(v_cal),
-                                   np.asarray(body_faces), cxn, cyn)
+        # compact tiles: only occupied lattice tiles run the crossing math
+        cb, cm, tids = build_column_bins(np.asarray(v_cal),
+                                         np.asarray(body_faces), cxn, cyn,
+                                         compact=True)
         cz, _cnt = jax.jit(build_crossing_columns_blocked,
                            static_argnames=("max_cross", "G"))(
             jnp.asarray(v_cal), jnp.asarray(body_faces), jnp.asarray(cb),
-            jnp.asarray(cm), jnp.asarray(cxn), jnp.asarray(cyn))
+            jnp.asarray(cm), jnp.asarray(cxn), jnp.asarray(cyn),
+            tile_ids=jnp.asarray(tids))
         h = (lattice_res - 1) / 2.0
         extra = {
             "smpl_cross_z": cz,
@@ -422,6 +485,22 @@ def _pamir_feats(smpl_verts, body, fit_params, scale, calib):
     v_proj = project(jnp.asarray(verts)[None], jnp.asarray(calib)[None]) * 0.5
     return {"voxel_verts": v_proj.astype(jnp.float32),
             "voxel_codes": jnp.asarray(codes.astype(np.float32))}
+
+
+def _export_overlap(path, image, nmlF, mask):
+    """Side-by-side [input | input blended with the predicted cloth normal
+    over the person mask] (reference blend_rgb_norm + the _overlap.png
+    export, apps/infer.py:326-348, lib/dataset/mesh_util.py:144-149)."""
+    from PIL import Image
+
+    def to_u8(x):
+        return (np.clip(x * 0.5 + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
+
+    img = to_u8(image)
+    norm = to_u8(nmlF)
+    m = (np.asarray(mask) > 0.5).astype(np.uint8)[..., None]
+    blend = img * (1 - m) + norm * m
+    Image.fromarray(np.concatenate([img, blend], axis=1)).save(path)
 
 
 def _export_turntable_video(path, image, nmlF, meshes, faces,

@@ -103,7 +103,8 @@ def main():
                     variables.get("batch_stats", {}), loaded["batch_stats"])
             print(f"[test] loaded {path}")
         run_evaluation(cfg, dataset, net, variables,
-                       max_items=args.max_eval_items)
+                       max_items=args.max_eval_items,
+                       num_devices=cfg.num_devices or 1)
         return
 
     dataset = PIFuDataset(cfg, split="train")
@@ -111,8 +112,13 @@ def main():
         raise SystemExit(
             f"no training data found under {cfg.dataset.root!r} — see "
             "docs/dataset.md of the reference for the expected layout")
+    # multi-host: each process loads/decodes only its B/hosts slice of the
+    # (identically seeded) global batch; global_batch_from_local stitches
+    # the shards with no cross-host data movement
+    pi, pc = jax.process_index(), jax.process_count()
     loader = DataLoader(dataset, batch_size=cfg.batch_size,
-                        num_workers=cfg.num_threads)
+                        num_workers=cfg.num_threads,
+                        process_index=pi, process_count=pc)
     val_dataset = PIFuDataset(cfg, split="val")
     if len(val_dataset) == 0:
         val_dataset = PIFuDataset(cfg, split="test")
@@ -120,11 +126,21 @@ def main():
     # (shard_batch raises); wrap-around padding keeps every batch full
     val_loader = DataLoader(val_dataset, batch_size=cfg.batch_size,
                             num_workers=cfg.num_threads, shuffle=False,
-                            drop_last=False,
-                            pad_last=True) if len(val_dataset) else None
+                            drop_last=False, pad_last=True,
+                            process_index=pi,
+                            process_count=pc) if len(val_dataset) else None
     steps_per_epoch = len(loader)
 
-    mesh = make_mesh_for_batch(cfg.batch_size, cfg.num_devices or None)
+    if pc > 1:
+        # the mesh must span every host's chips so the per-process local
+        # slices tile the whole batch axis
+        assert cfg.batch_size % jax.device_count() == 0, (
+            f"multi-host batch {cfg.batch_size} must divide the "
+            f"{jax.device_count()} global devices")
+        from icon_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh_for_batch(cfg.batch_size, cfg.num_devices or None)
 
     example = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in example.items()
@@ -160,6 +176,10 @@ def main():
 
     def prep(batch):
         batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if pc > 1:
+            from icon_tpu.parallel.mesh import global_batch_from_local
+            return global_batch_from_local(batch, mesh,
+                                           shared_keys=SHARED_KEYS)
         sharded = shard_batch(
             {k: v for k, v in batch.items() if k not in SHARED_KEYS}, mesh)
         for k in SHARED_KEYS:
@@ -168,9 +188,33 @@ def main():
                     jnp.asarray(batch[k]), NamedSharding(mesh, P()))
         return sharded
 
-    # image panels every freq_show_train fraction of an epoch (reference
-    # render_func posting to TensorBoard, apps/ICON.py:694-727)
+    # prediction panels every freq_show_train fraction of an epoch
+    # (reference render_func posting recon slices + predictions to
+    # TensorBoard, apps/ICON.py:694-727): sampled-point preds colored by
+    # error + a dense low-res occupancy slice, alongside the inputs
     show_every = max(int(cfg.freq_show_train * steps_per_epoch), 1)
+    fwd_fn = jax.jit(lambda v, b: net.apply(v, b, train=False))
+
+    def prediction_panels(batch):
+        from icon_tpu.ops.projection import project
+        from icon_tpu.training.visuals import (occupancy_slice_image,
+                                               point_error_image)
+        one = {k: (jnp.asarray(v) if k in SHARED_KEYS
+                   else jnp.asarray(v[:1]))
+               for k, v in batch.items() if isinstance(v, np.ndarray)}
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pred, _ = fwd_fn(variables, one)
+        xyz = project(one["sample"], one["calib"])
+        panels = {k: batch[k][0] for k in
+                  ("image", "normal_F", "T_normal_F")
+                  if k in batch and isinstance(batch[k], np.ndarray)}
+        panels["pred_vs_label"] = point_error_image(
+            np.asarray(xyz)[0, :, :2], np.asarray(pred)[0],
+            np.asarray(one["label"])[0], size=batch["image"].shape[1])
+        panels["occ_slice_z"] = occupancy_slice_image(
+            net, variables, one, res=65, axis="z")
+        return panels
 
     t0 = time.time()
     step = int(state.step)
@@ -186,12 +230,10 @@ def main():
                 logger.log(step, m)
                 print(f"epoch {epoch} step {step}: {m}", flush=True)
             if step % show_every == 0:
-                panels = {k: batch[k][0] for k in
-                          ("image", "normal_F", "normal_B",
-                           "T_normal_F", "T_normal_B")
-                          if k in batch and isinstance(batch[k], np.ndarray)}
-                if panels:
-                    logger.log_images(step, panels)
+                try:
+                    logger.log_images(step, prediction_panels(batch))
+                except Exception as e:          # panels must never kill a run
+                    print(f"[train] prediction panel failed: {e}")
             if args.max_steps and step >= args.max_steps:
                 break
         # validation epoch -> top-k checkpointing on val loss

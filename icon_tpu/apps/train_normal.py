@@ -97,6 +97,19 @@ def main():
         return shard_batch({k: v for k, v in batch.items()
                             if isinstance(v, np.ndarray)}, mesh)
 
+    # predicted-normal panels every freq_show_train fraction of an epoch
+    # (reference Normal.py:117-129 render_func posts predictions, not
+    # inputs)
+    show_every = max(int(cfg.freq_show_train * len(loader)), 1)
+    pred_fn = jax.jit(lambda p, b: net.apply({"params": p}, b, train=False))
+
+    def prediction_panels(batch):
+        from icon_tpu.training.visuals import normal_pred_panels
+        one = {k: jnp.asarray(v[:1]) for k, v in batch.items()
+               if isinstance(v, np.ndarray)}
+        pF, pB = pred_fn(state.params, one)
+        return normal_pred_panels(one, pF, pB)
+
     t0 = time.time()
     step = int(state.step)
     for epoch in range(cfg.num_epoch):
@@ -107,6 +120,12 @@ def main():
                 m = {k: float(v) for k, v in metrics.items()}
                 logger.log(step, m)
                 print(f"epoch {epoch} step {step}: {m}", flush=True)
+            if step % show_every == 0:
+                try:
+                    logger.log_images(step, prediction_panels(batch),
+                                      prefix="normal")
+                except Exception as e:
+                    print(f"[train-normal] prediction panel failed: {e}")
             if args.max_steps and step >= args.max_steps:
                 break
 

@@ -533,7 +533,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True,
-                 pad_last: bool = False):
+                 pad_last: bool = False, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -544,6 +545,22 @@ class DataLoader:
         # every batch divides the device mesh (needed by shard_batch's
         # NamedSharding on multi-device validation runs)
         self.pad_last = pad_last
+        # Multi-host input sharding (reference DistributedSampler semantics,
+        # apps/train.py:117-121 via Lightning DDP): every process computes
+        # the SAME seeded global shuffle, then loads/decodes only its
+        # contiguous B/process_count slice of each global batch — host input
+        # work stays constant with world size instead of O(hosts). The
+        # contiguous block matches jax device ordering (devices group by
+        # process), so the local batch feeds
+        # jax.make_array_from_process_local_data directly
+        # (parallel.mesh.global_batch_from_local).
+        assert 0 <= process_index < process_count, \
+            f"process_index {process_index} outside [0, {process_count})"
+        assert batch_size % process_count == 0, \
+            f"global batch {batch_size} not divisible by " \
+            f"{process_count} processes"
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -570,6 +587,14 @@ class DataLoader:
             short = len(batches[-1])
             fill = order[np.arange(self.batch_size - short) % len(order)]
             batches[-1] = np.concatenate([batches[-1], fill])
+        if self.process_count > 1:
+            # this host's contiguous slice of each global batch; ragged
+            # final batches (drop_last=False without pad_last) stay global
+            # on every host — they cannot split evenly
+            lb = self.batch_size // self.process_count
+            lo = self.process_index * lb
+            batches = [b[lo:lo + lb] if len(b) == self.batch_size else b
+                       for b in batches]
 
         def collate(items):
             out = {}

@@ -21,10 +21,15 @@ from icon_tpu.eval.evaluator import chamfer_p2s, normal_consistency
 
 
 def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
-              max_cells: int = 1 << 18, max_tris: int = 1 << 20):
+              max_cells: int = 1 << 18, max_tris: int = 1 << 20,
+              mesh=None):
     """netG.filter + octree recon + marching for one test item
     (ICON.test_single, apps/ICON.py:729-761). Returns (verts, faces) in the
-    [-1,1] engine world space."""
+    [-1,1] engine world space.
+
+    ``mesh``: optional 1-D jax device mesh — the occupancy queries point-
+    shard over it (SURVEY §2.4); the engine must have been built with
+    ``pad_multiple=mesh.size``."""
     import jax.numpy as jnp
     from icon_tpu.recon.export import extract_mesh
 
@@ -63,7 +68,13 @@ def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
         return net.apply(variables, features, pts, calib, smpl_feat,
                          False, method=net.query)[-1]
 
-    occ, stats = engine(query_fn, jit_levels=True)
+    if mesh is not None:
+        from icon_tpu.parallel.mesh import shard_query
+        with mesh:
+            occ, stats = engine(shard_query(query_fn, mesh),
+                                jit_levels=True)
+    else:
+        occ, stats = engine(query_fn, jit_levels=True)
     verts, faces = extract_mesh(occ, max_cells=max_cells, max_tris=max_tris)
     return verts, faces, stats
 
@@ -78,16 +89,30 @@ def run_evaluation(cfg, dataset, net, variables,
                    mcube_res: Optional[int] = None,
                    num_samples: int = 1000,
                    nc_size: int = 512,
-                   max_items: int = 0) -> Dict[str, Dict[str, float]]:
+                   max_items: int = 0,
+                   num_devices: int = 1) -> Dict[str, Dict[str, float]]:
     """Evaluate every test view; returns {dataset: {metric: mean}} and prints
-    the benchmark table (reference test_epoch_end, ICON.py:647-673)."""
+    the benchmark table (reference test_epoch_end, ICON.py:647-673).
+
+    ``num_devices`` > 1 point-shards the recon queries over a 1-D device
+    mesh (SURVEY §2.4 inference point parallelism)."""
     from icon_tpu.data.datasets import projection_np
     from icon_tpu.recon.engine import (ReconEngine,
                                        reconstruction_resolutions)
     from icon_tpu.utils.io import clean_mesh
 
+    mesh = None
+    if num_devices > 1:
+        from icon_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(num_devices)
+        print(f"[eval] point-sharding recon over {mesh.size} devices")
+        if cfg.net.norm_mlp == "group":
+            print("[eval] WARNING: norm_mlp=group normalizes over the "
+                  "point axis — sharded stats differ from single-device "
+                  "(see parallel.mesh.shard_query)")
     res = mcube_res or cfg.mcube_res
-    engine = ReconEngine(reconstruction_resolutions(res))
+    engine = ReconEngine(reconstruction_resolutions(res),
+                         pad_multiple=mesh.size if mesh else 1)
 
     accum: Dict[str, Dict[str, List[float]]] = {}
     n = len(dataset)
@@ -95,7 +120,8 @@ def run_evaluation(cfg, dataset, net, variables,
         n = min(n, max_items)
     for i in range(n):
         item = dataset[i]
-        verts_pr, faces_pr, stats = recon_one(net, variables, item, engine)
+        verts_pr, faces_pr, stats = recon_one(net, variables, item, engine,
+                                              mesh=mesh)
         if cfg.clean_mesh and len(verts_pr):
             verts_pr, faces_pr = clean_mesh(verts_pr, faces_pr)
         if not len(verts_pr):

@@ -122,7 +122,8 @@ def refine_smpl_live(body_model: BodyModel,
                      w_normal: float = 1.0,
                      w_sil: float = 1.0,
                      raster_k: int = 96,
-                     mask: Optional[jnp.ndarray] = None):
+                     mask: Optional[jnp.ndarray] = None,
+                     capture_every: int = 0):
     """The faithful SMPL body-fitting loop (reference apps/infer.py:123-273):
 
     - pose/orient are optimized directly as rotation matrices
@@ -140,7 +141,13 @@ def refine_smpl_live(body_model: BodyModel,
     ``init``: betas [1,10], body_pose [1,J-1,3,3], global_orient [1,1,3,3],
     trans [3]. Returns (refined verts [V,3] in render space, final predicted
     (normal_F, normal_B), loss history, final params — the optimized
-    pose/betas feed PaMIR's voxelization, reference infer.py:379-388).
+    pose/betas feed PaMIR's voxelization, reference infer.py:379-388 —
+    and the captured progression frames).
+
+    ``capture_every`` > 0 snapshots a uint8 panel row
+    [input | body T_normal_F | predicted cloth normal_F] every k-th
+    iteration plus the last (the reference's refinement gif frames,
+    apps/infer.py:275-321 per_loop_lst); 0 captures nothing.
     """
     faces_j = jnp.asarray(faces)
     tx = optax.chain(
@@ -179,7 +186,7 @@ def refine_smpl_live(body_model: BodyModel,
         T_nF, T_nB = render_targets(params)
         nF, nB = normal_jit({"image": image[None], "T_normal_F": T_nF[None],
                              "T_normal_B": T_nB[None]})
-        return nF[0], nB[0]
+        return nF[0], nB[0], T_nF
 
     def loss_fn(params, nF, nB):
         verts = forward_verts(params)
@@ -214,16 +221,24 @@ def refine_smpl_live(body_model: BodyModel,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def to_u8(img):
+        return (np.clip(np.asarray(img) * 0.5 + 0.5, 0, 1)
+                * 255).astype(np.uint8)
+
     params = {k: jnp.asarray(v) for k, v in init.items()}
     opt_state = tx.init(params)
     losses = []
+    frames = []
     nF = nB = None
-    for _ in range(iters):
-        nF, nB = predict(params)
+    for i in range(iters):
+        nF, nB, T_nF = predict(params)
+        if capture_every and (i % capture_every == 0 or i == iters - 1):
+            frames.append(np.concatenate(
+                [to_u8(image), to_u8(T_nF), to_u8(nF)], axis=1))
         params, opt_state, loss = step(params, opt_state, nF, nB)
         losses.append(float(loss))
     verts = jax.jit(forward_verts)(params)
-    return np.asarray(verts), (nF, nB), losses, params
+    return np.asarray(verts), (nF, nB), losses, params, frames
 
 
 def refine_cloth(verts: np.ndarray, faces: np.ndarray,

@@ -602,6 +602,12 @@ def build_crossing_columns_blocked(verts: jnp.ndarray, faces: jnp.ndarray,
         zv, cnt = jax.lax.map(tiles_batch, rows_ts.reshape(-1, TB, 2))
         zv = zv.reshape(-1, G * G, zv.shape[-1])[:n_total]
         cnt = cnt.reshape(-1, G * G)[:n_total]
+    elif tile_ids.shape[0] == 0:
+        # degenerate compact input (the documented producer pads to >=32,
+        # but an empty array must not ZeroDivisionError): empty lattice
+        C = min(max_cross, bins.shape[-1]) if bins.size else max_cross
+        return (jnp.full((H * W, C), jnp.inf, verts.dtype),
+                jnp.zeros((H * W,), jnp.int32))
     else:
         nt = tile_ids.shape[0]
         TB = min(tiles_per_step, nt)

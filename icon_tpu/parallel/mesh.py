@@ -48,6 +48,27 @@ def shard_points(points: jax.Array, mesh: Mesh, axis: str = "data"):
                                                 dim=1))
 
 
+def global_batch_from_local(batch: Any, mesh: Mesh, axis: str = "data",
+                            shared_keys: Sequence[str] = ()) -> Any:
+    """Assemble a globally-sharded batch from per-process LOCAL arrays
+    (multi-host input pipeline, SURVEY §2.4): each host passes only its
+    B/process_count slice (DataLoader(process_index=..., process_count=...))
+    and ``jax.make_array_from_process_local_data`` stitches the global
+    array with no cross-host data movement — host input work stays constant
+    with world size (reference DistributedSampler semantics under Lightning
+    DDP, apps/train.py:117-121).
+
+    Keys in ``shared_keys`` must hold the FULL (identical) array on every
+    host and come out replicated. Works single-process too, where it reduces
+    to shard_batch + replicate."""
+    def put(k, v):
+        v = np.asarray(v)
+        sh = NamedSharding(mesh, P()) if k in shared_keys \
+            else data_sharding(mesh, v.ndim, axis)
+        return jax.make_array_from_process_local_data(sh, v)
+    return {k: put(k, v) for k, v in batch.items()}
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
@@ -59,7 +80,16 @@ def shard_query(query_fn, mesh: Mesh, axis: str = "data"):
     slice against the replicated network/body, and the per-device [1, N/d, 1]
     outputs concatenate back along N (XLA inserts the all-gather). Pass the
     wrapped fn to ``ReconEngine(..., pad_multiple=mesh.size)`` so static
-    budgets divide evenly."""
+    budgets divide evenly.
+
+    Exactness: per-point math (grid_sample, SMPL sdf features, batch-norm
+    MLP in eval mode) is bit-identical per point, so sharded == unsharded
+    up to matmul ULP (tests/test_dist.py pins this). A ``norm_mlp: group``
+    MLP however normalizes over the POINT axis (torch GroupNorm over
+    [B, C, N] — MLP.py:8-72), so its statistics change with the shard size;
+    the reference has the same property across its own per-level point sets
+    (batch_eval evaluates whole levels at once, seg3d_lossless.py:125-144).
+    All published reference checkpoints use ``norm_mlp: batch``."""
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(query_fn, mesh=mesh,

@@ -297,6 +297,7 @@ def _set_subtree(tree: Dict[str, Any], path: str, value: Any) -> None:
 def port_icon_checkpoint(flax_params: Any,
                          icon_state: Optional[Dict[str, np.ndarray]] = None,
                          normal_state: Optional[Dict[str, np.ndarray]] = None,
+                         allow_unknown: Sequence[str] = (),
                          ) -> Tuple[Dict[str, Any], Dict[str, Any], List[str]]:
     """Convert published reference checkpoints into HGPIFuNet variables.
 
@@ -306,6 +307,11 @@ def port_icon_checkpoint(flax_params: Any,
       icon_state: torch state dict of the geometry checkpoint
         (icon-filter.ckpt / pifu.ckpt / pamir.ckpt — ``netG.*`` keys).
       normal_state: torch state dict of normal.ckpt (``netG.netF/netB.*``).
+      allow_unknown: key prefixes the caller explicitly permits the port to
+        drop. Any OTHER unrecognized ``netG.*`` tensor raises — a published
+        checkpoint whose module tree we do not fully understand must not
+        load silently (VERDICT r4 #10; reference load semantics
+        lib/dataset/mesh_util.py:187-237 keep every netG weight).
 
     Returns (new_params, batch_stats_updates, log). Raises if any flax
     parameter in a ported scope is left unassigned (silent partial loads are
@@ -331,6 +337,7 @@ def port_icon_checkpoint(flax_params: Any,
         assigned.add(fk)
         log.append(f"{tk} -> {fk}")
 
+    unrecognized: List[str] = []
     if icon_state is not None:
         for tk, tv in icon_state.items():
             if any(s in tk for s in _SKIP_SUBSTR):
@@ -358,8 +365,20 @@ def port_icon_checkpoint(flax_params: Any,
                 continue                     # mesh_util.py:200-205 filtering
             elif tk.startswith("netG.ve."):
                 pass                         # ordered-matched below
+            elif tk.startswith("netG.") and \
+                    not any(tk.startswith(p) for p in allow_unknown):
+                unrecognized.append(tk)
             else:
+                # non-netG keys (optimizer moments, lr schedules, Lightning
+                # bookkeeping) are not model weights — safe to drop
                 log.append(f"{tk} -> (ignored)")
+        if unrecognized:
+            raise ValueError(
+                f"geometry checkpoint holds {len(unrecognized)} netG "
+                f"tensors this port does not recognize, e.g. "
+                f"{unrecognized[:5]} — refusing to load a checkpoint "
+                "whose module tree is not fully understood. Pass "
+                "allow_unknown=(prefix, ...) to drop them explicitly.")
         if any(k.startswith("netG.ve.") for k in icon_state):
             # VE converts by NAME: our module names mirror lib/net/VE.py
             # (conv1/bn1/conv2/bn2, res{i}/{conv1,bn1,conv2,bn2,conv4}).
@@ -409,3 +428,23 @@ def port_icon_checkpoint(flax_params: Any,
             log += sub_log
 
     return _unflatten(new_flat), _unflatten(stats_updates), log
+
+
+def scope_summary(params: Any, depth: int = 2) -> List[str]:
+    """Per-scope tensor-count / weight-norm lines for a (ported) param tree —
+    the at-a-glance check that all 200+ published tensors landed with sane
+    magnitudes (a scope still at its init norm after a port is a red flag).
+    ``depth`` path components group the scopes."""
+    flat = _flatten(params)
+    groups: Dict[str, List[np.ndarray]] = {}
+    for k, v in flat.items():
+        scope = "/".join(k.split("/")[:depth])
+        groups.setdefault(scope, []).append(np.asarray(v))
+    lines = []
+    for scope in sorted(groups):
+        vs = groups[scope]
+        sq = sum(float((v.astype(np.float64) ** 2).sum()) for v in vs)
+        n_el = sum(v.size for v in vs)
+        lines.append(f"{scope}: {len(vs)} tensors, {n_el} params, "
+                     f"L2={np.sqrt(sq):.3f}")
+    return lines

@@ -63,6 +63,14 @@ def train_cfg(data_root, tmp_path_factory):
     return str(path)
 
 
+def _image_panels(train_cfg, name):
+    import glob
+    with open(train_cfg) as f:
+        cfg = yaml.safe_load(f)
+    return glob.glob(os.path.join(cfg["ckpt_dir"], cfg["name"],
+                                  "images", f"{name}*.png"))
+
+
 def test_train_app_two_steps(train_cfg, monkeypatch, capsys):
     from icon_tpu.apps import train
     monkeypatch.setattr(sys, "argv",
@@ -70,6 +78,10 @@ def test_train_app_two_steps(train_cfg, monkeypatch, capsys):
     train.main()
     out = capsys.readouterr().out
     assert "done: 2 steps" in out
+    # prediction panels rendered (pred-vs-label points + occupancy slice;
+    # reference render_func, apps/ICON.py:694-727)
+    assert "prediction panel failed" not in out
+    assert _image_panels(train_cfg, "train"), "no prediction panels written"
 
 
 def test_train_normal_app_two_steps(train_cfg, monkeypatch, capsys):
@@ -80,3 +92,5 @@ def test_train_normal_app_two_steps(train_cfg, monkeypatch, capsys):
     train_normal.main()
     out = capsys.readouterr().out
     assert "done: 2 steps" in out
+    assert "prediction panel failed" not in out
+    assert _image_panels(train_cfg, "normal"), "no prediction panels written"

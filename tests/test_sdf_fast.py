@@ -166,3 +166,66 @@ def test_winding_sign_matches_exact_check_sign():
     inside_exact = np.asarray(w) > 0.5
     got = np.asarray(sdf)[:, 0] > 0
     assert np.array_equal(got, inside_exact)
+
+
+def test_crossing_columns_compact_matches_dense():
+    """build_column_bins(compact=True) + tile_ids must reproduce the dense
+    tile pass exactly: identical per-column crossing depths and counts,
+    with +inf/0 scattered back for the skipped empty tiles (ADVICE r4)."""
+    import jax
+    from icon_tpu.ops.sdf_fast import (build_column_bins,
+                                       build_crossing_columns_blocked)
+
+    v, f = synthetic_body(subdiv=3)
+    res = 33
+    cx = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+    cy = np.linspace(1.0, -1.0, res, dtype=np.float32)
+
+    cb_d, cm_d = build_column_bins(v, f, cx, cy)
+    cz_d, cnt_d = jax.jit(build_crossing_columns_blocked)(
+        jnp.asarray(v), jnp.asarray(f), jnp.asarray(cb_d),
+        jnp.asarray(cm_d), jnp.asarray(cx), jnp.asarray(cy))
+
+    cb_c, cm_c, tids = build_column_bins(v, f, cx, cy, compact=True)
+    assert tids.shape[0] % 32 == 0 and tids.shape[0] < cb_d.shape[0], \
+        "compact pass should drop empty tiles"
+    cz_c, cnt_c = jax.jit(build_crossing_columns_blocked)(
+        jnp.asarray(v), jnp.asarray(f), jnp.asarray(cb_c),
+        jnp.asarray(cm_c), jnp.asarray(cx), jnp.asarray(cy),
+        tile_ids=jnp.asarray(tids))
+
+    np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_c))
+    np.testing.assert_array_equal(np.asarray(cz_d), np.asarray(cz_c))
+    assert int(np.asarray(cnt_d).sum()) > 0     # the body actually rasterized
+
+
+def test_crossing_columns_compact_all_empty():
+    """A mesh entirely outside the lattice yields zero occupied tiles: the
+    compact producer emits all-padding tile_ids and the blocked pass returns
+    an empty lattice; a raw zero-length tile_ids array must not crash."""
+    import jax
+    from icon_tpu.ops.sdf_fast import (build_column_bins,
+                                       build_crossing_columns_blocked)
+
+    v, f = synthetic_body(subdiv=2)
+    v = v + np.array([100.0, 100.0, 0.0], np.float32)   # far off-lattice
+    res = 17
+    cx = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+    cy = np.linspace(1.0, -1.0, res, dtype=np.float32)
+    cb, cm, tids = build_column_bins(v, f, cx, cy, compact=True)
+    # nearly all tiles drop (xy-degenerate faces are conservatively kept in
+    # their clamped border tile but produce no crossings)
+    assert (np.asarray(tids) >= 0).sum() <= 4
+    cz, cnt = build_crossing_columns_blocked(
+        jnp.asarray(v), jnp.asarray(f), jnp.asarray(cb), jnp.asarray(cm),
+        jnp.asarray(cx), jnp.asarray(cy), tile_ids=jnp.asarray(tids))
+    assert int(np.asarray(cnt).sum()) == 0
+    assert np.isinf(np.asarray(cz)).all()
+
+    # zero-length tile_ids: guarded, returns the empty lattice
+    cz0, cnt0 = build_crossing_columns_blocked(
+        jnp.asarray(v), jnp.asarray(f), jnp.asarray(cb), jnp.asarray(cm),
+        jnp.asarray(cx), jnp.asarray(cy),
+        tile_ids=jnp.zeros((0,), jnp.int32))
+    assert int(np.asarray(cnt0).sum()) == 0
+    assert np.isinf(np.asarray(cz0)).all()
