@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--ckpt", default="",
+                    help="published geometry .ckpt: the variant frame "
+                    "derives its field from the ported net instead of the "
+                    "synthetic fallback")
+    ap.add_argument("--normal_ckpt", default="",
+                    help="published normal.ckpt for the variant frame")
     args = ap.parse_args()
 
     from icon_tpu.utils.jax_cache import enable as _enable_cache
@@ -82,10 +88,41 @@ def main():
     rng = np.random.RandomState(0)
     batch = synthetic_icon_batch(rng, B=1, image_size=args.image_size,
                                  n_samples=64, subdiv=5)
+    # body-prior normal renders for the NormalNet-inclusive variant frame
+    for k in ("T_normal_F", "T_normal_B"):
+        batch[k] = rng.randn(1, args.image_size, args.image_size,
+                             3).astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    # init WITHOUT precomputed normal_F/B so filter() traces normal_filter
+    # and the params tree carries the 512^2 NormalNet (the variant frame
+    # times its prediction; the headline frame feeds normals directly and
+    # simply never touches those params)
+    init_batch = {k: v for k, v in batch.items()
+                  if k not in ("normal_F", "normal_B")}
     variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
-        jax.random.PRNGKey(0), batch)
+        jax.random.PRNGKey(0), init_batch)
+    import os.path as osp
+    if args.ckpt and osp.isfile(args.ckpt) or \
+            args.normal_ckpt and osp.isfile(args.normal_ckpt):
+        from icon_tpu.utils.torch_port import (load_torch_state,
+                                               port_icon_checkpoint)
+        params, stats_upd, _ = port_icon_checkpoint(
+            variables["params"],
+            icon_state=load_torch_state(args.ckpt)
+            if args.ckpt and osp.isfile(args.ckpt) else None,
+            normal_state=load_torch_state(args.normal_ckpt)
+            if args.normal_ckpt and osp.isfile(args.normal_ckpt) else None)
+        variables = dict(variables)
+        variables["params"] = params
+        if stats_upd:
+            from icon_tpu.training.checkpoints import partial_warm_start
+            variables["batch_stats"] = partial_warm_start(
+                variables.get("batch_stats", {}), stats_upd)
+        real_weights = True
+        print("[bench] ported published checkpoint weights", file=sys.stderr)
+    else:
+        real_weights = False
 
     resolutions = reconstruction_resolutions(args.res)
     # auto_budget: steady-state serving — per-level buffers sized from the
@@ -233,6 +270,62 @@ def main():
     jax.block_until_ready(occ)
     engine_fps = (args.iters + 2) / (time.perf_counter() - t0)
 
+    # (d) trained-weights-shaped variant frame (VERDICT r4 #6): the 512^2
+    # NormalNet prediction joins the timed path (reference test_single runs
+    # normal_filter inside filter, apps/ICON.py:729-761), and the field is
+    # the ported net's own occupancy when real ckpts are passed, else the
+    # analytic body PLUS band-limited spurious blobs — extra coarse-level
+    # boundary cells the way a trained net's noisy coarse levels produce
+    # them. Budgets/marching buffers autotune against this harder field;
+    # overflow counters police the headroom.
+    eng2 = ReconEngine(resolutions, faster=True, auto_budget=True,
+                       auto_headroom=1.3)
+    marcher2 = AutoMarcher(max_cells=max_cells, max_tris=max_tris,
+                           max_verts=(1 << 19) * area_scale, slice_one=True,
+                           codec="lattice")
+    normal_jit = jax.jit(lambda v, t: net.apply(
+        v, t, train=False, method=net.predict_normals))
+    in_nml = {k: batch[k] for k in ("image", "T_normal_F", "T_normal_B")}
+    nmlF0, nmlB0 = normal_jit(variables, in_nml)
+    features2 = filter_jit(variables, {"image": batch["image"],
+                                       "normal_F": nmlF0,
+                                       "normal_B": nmlB0})
+
+    def variant_query(pts, cross_z):
+        smpl = dict(smpl_feat, smpl_cross_z=cross_z)
+        preds = net.apply(variables, features2, pts, batch["calib"],
+                          smpl, False, method=net.query)[-1]
+        if real_weights:
+            return preds
+        body = clothed_human_occ(pts)[..., None]
+        # threshold 0.72: ~35k extra level-1 boundary points on top of the
+        # body's 25k — noisy-coarse-level pressure without blowing the
+        # static caps (0.55 measured 90.6k needs vs the 76k cap)
+        n = (jnp.sin(pts[..., 0] * 6.1 + 0.9) *
+             jnp.sin(pts[..., 1] * 5.3 + 2.0) *
+             jnp.sin(pts[..., 2] * 6.7 + 4.2))[..., None]
+        spurious = 0.8 * jnp.maximum(n - 0.72, 0.0) / 0.28
+        return jnp.clip(preds * 1e-6 + body + spurious, 0.0, 1.0)
+
+    def variant_frame():
+        nmlF, nmlB = normal_jit(variables, in_nml)
+        filter_jit(variables, {"image": batch["image"],
+                               "normal_F": nmlF, "normal_B": nmlB})
+        cz2, _ = columns_jit(smpl_feat["smpl_verts"][0])
+        occ2, st2 = eng2(variant_query, jit_levels=True, query_args=(cz2,))
+        m2 = marcher2(occ2, coarse_occ=st2["coarse_occ"])
+        v2, f2 = marcher2.unpack(marcher2.pack(m2))
+        return st2, len(f2)
+
+    for _ in range(3):
+        variant_stats, variant_tris = variant_frame()   # warm + settle
+    vtimes = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        variant_stats, variant_tris = variant_frame()
+        vtimes.append(time.perf_counter() - t0)
+    variant_dt = float(np.median(vtimes))
+
     dt = float(np.median(times))
     fps = 1.0 / pipe_dt
     target_fps = 0.5        # driver target: <2 s/image at 256^3 (BASELINE.json)
@@ -243,6 +336,19 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(fps / target_fps, 4),
     }
+    # perf gate (VERDICT r4 #5): per-stage floors pinned to the r4 measured
+    # values so stage regressions can't ride in silently behind a headline
+    # improvement. Warn-and-report — the driver reads stdout JSON only.
+    ENGINE_FPS_FLOOR = 17.0       # BENCH_r04 engine_only_fps
+    PIPELINED_FLOOR_SEC = 0.266   # BENCH_r04 pipelined_sec_per_image
+    gate = {"engine_fps_floor": ENGINE_FPS_FLOOR,
+            "engine_ok": bool(engine_fps >= ENGINE_FPS_FLOOR),
+            "pipelined_floor_sec": PIPELINED_FLOOR_SEC,
+            "pipelined_ok": bool(pipe_dt <= PIPELINED_FLOOR_SEC)}
+    if not (gate["engine_ok"] and gate["pipelined_ok"]):
+        print(f"WARNING: perf below r4 floors — engine {engine_fps:.2f} fps "
+              f"(floor {ENGINE_FPS_FLOOR}), pipelined {pipe_dt:.4f} s "
+              f"(floor {PIPELINED_FLOOR_SEC})", file=sys.stderr)
     # secondary diagnostics on stderr (driver reads stdout JSON only)
     print(json.dumps({
         "pipelined_sec_per_image": round(pipe_dt, 4),
@@ -256,6 +362,21 @@ def main():
             for k in sorted(stats) if k.endswith("_points")},
         "n_tris": int(n_tris),
         "field": "posed clothed human (capsule FK + folds)",
+        "perf_gate": gate,
+        # trained-weights-shaped frame: 512^2 NormalNet inside the timed
+        # path + noisier field (or the real ported net with --ckpt)
+        "variant_normalnet": {
+            "latency_sec_per_image": round(variant_dt, 4),
+            "field": "ported checkpoint net" if real_weights else
+                     "clothed human + band-limited spurious blobs",
+            "level_points": {k: int(variant_stats[k])
+                             for k in sorted(variant_stats)
+                             if k.endswith("_points")},
+            "overflow": {k: int(variant_stats[k])
+                         for k in sorted(variant_stats)
+                         if k.endswith("_overflow")},
+            "n_tris": int(variant_tris),
+        },
         "platform": jax.devices()[0].platform,
         "times": [round(t, 4) for t in times],
     }), file=sys.stderr)

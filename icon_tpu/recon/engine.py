@@ -224,6 +224,7 @@ class ReconEngine:
             True, mode="drop").reshape(r, r, r)
 
         n_conflicts = jnp.zeros((), jnp.int32)
+        n_residual = jnp.zeros((), jnp.int32)
         if self.exact:
             # conflict resolution (reference seg3d_lossless.py:388-471):
             # where the fresh evaluation flips the interpolated side, the
@@ -261,7 +262,15 @@ class ReconEngine:
                 evaluated = evaluated.reshape(-1).at[safe2].set(
                     True, mode="drop").reshape(r, r, r)
                 cur_idx, cur_vals, cur_alive = idx2, vals2, alive2
-        return occ, evaluated, n_total, n_conflicts
+            # residual: side flips among the FINAL round's evaluations whose
+            # 3^3 neighborhoods were never examined — the quantity the
+            # reference's loop-until-empty drives to zero
+            # (seg3d_lossless.py:388-471). Zero residual == converged.
+            interp = occ_up_flat[jnp.where(cur_alive, cur_idx, 0)]
+            n_residual = jnp.sum(
+                cur_alive & ((cur_vals - self.balance) *
+                             (interp - self.balance) < 0))
+        return occ, evaluated, n_total, (n_conflicts, n_residual)
 
     def __call__(self, query_fn: Callable[..., jnp.ndarray],
                  jit_levels: bool = False, query_args: tuple = ()):
@@ -320,5 +329,6 @@ class ReconEngine:
             stats[f"level{lv}_points"] = n_total
             stats[f"level{lv}_overflow"] = jnp.maximum(n_total - budget, 0)
             if self.exact:
-                stats[f"level{lv}_conflicts"] = n_conf
+                stats[f"level{lv}_conflicts"] = n_conf[0]
+                stats[f"level{lv}_residual"] = n_conf[1]
         return occ, stats

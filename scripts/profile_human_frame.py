@@ -51,7 +51,7 @@ for _ in range(2):
     cz = columns_jit(smpl_feat["smpl_verts"][0])[0]
     f = filter_jit(variables, in_t); sync(f)
     occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ)
-    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_tris)
+    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_cells)
     v, fc = marcher.unpack(marcher.pack(mesh))
 
 for it in range(3):
@@ -59,7 +59,7 @@ for it in range(3):
     cz = columns_jit(smpl_feat["smpl_verts"][0])[0]; sync(cz)
     t0=time.perf_counter(); f=filter_jit(variables,in_t); sync(f); t1=time.perf_counter()
     occ, stats = eng(query_fn, jit_levels=True, query_args=(cz,)); sync(occ); t2=time.perf_counter()
-    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.faces); t3=time.perf_counter()
+    mesh = march_jit(occ, stats["coarse_occ"]); sync(mesh.n_cells); t3=time.perf_counter()
     token = marcher.pack(mesh); sync(token[0][0]); t35=time.perf_counter()
     v, fc = marcher.unpack(token); t4=time.perf_counter()
     print(f"columns {t0-tc0:.3f}  filter {t1-t0:.3f}  engine {t2-t1:.3f}  march {t3-t2:.3f}  pack {t35-t3:.3f}  fetch {t4-t35:.3f}  total {t4-tc0:.3f}  ntris {len(fc)} nverts {len(v)}")

@@ -2,6 +2,7 @@
 and extracts the right geometry."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from icon_tpu.recon.engine import (ReconEngine, default_budgets,
@@ -145,3 +146,28 @@ def test_query_args_not_baked_into_cached_executables():
     inside2 = float((occ2 > 0.5).mean())
     # a 1.5x larger sphere occupies ~3.4x the volume
     assert inside2 > 2.0 * inside1, (inside1, inside2)
+
+
+@pytest.mark.slow
+def test_exact_mode_converges_at_production_resolution():
+    """Exact-mode parity with the reference's loop-until-empty conflict
+    resolution (seg3d_lossless.py:388-471) at production resolution: on a
+    257^3 posed-clothed-human field, 2 static conflict rounds leave ZERO
+    residual side-flips at every level (VERDICT r4 #9)."""
+    import jax.numpy as jnp
+    from icon_tpu.recon.engine import ReconEngine
+    from icon_tpu.utils.synthetic import clothed_human_occ
+
+    def q(pts):
+        return clothed_human_occ(pts)[..., None]
+
+    eng = ReconEngine((33, 65, 129, 257), exact=True, conflict_rounds=2)
+    occ, stats = eng(q, jit_levels=True)
+    assert occ.shape == (257, 257, 257)
+    for lv in (1, 2, 3):
+        assert int(stats[f"level{lv}_overflow"]) == 0, \
+            f"level {lv} budget overflow"
+        assert int(stats[f"level{lv}_residual"]) == 0, (
+            f"level {lv}: {int(stats[f'level{lv}_residual'])} residual "
+            f"conflicts after {eng.conflict_rounds} rounds "
+            f"(round conflicts: {int(stats[f'level{lv}_conflicts'])})")

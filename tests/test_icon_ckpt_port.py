@@ -449,3 +449,199 @@ def test_normal_ckpt_port_into_hgpifu(tmp_path):
                            False, method=net.predict_normals)
     np.testing.assert_allclose(np.asarray(outF), refF, rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(outB), refB, rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# full-chain ICON-prior twin (VERDICT r4 #4): torch grid_sample + the
+# reference's cal_sdf math + feat_select + the ported MLP, composed exactly
+# as HGPIFuNet.query does for prior_type=icon (HGPIFuNet.py:268-367,
+# mesh_util.py:266-396), vs our net.query with ported weights — including
+# the sdf-clip outlier branch.
+# ---------------------------------------------------------------------------
+
+
+def _torch_point_tri_features(points, verts, faces, cmaps, vis):
+    """Reference cal_sdf_batch in plain torch (mesh_util.py:357-396) on a
+    SPHERE body so check_sign is analytic: brute-force closest triangle,
+    Heidrich barycentric projection weights, PyTorch3D-style area-weighted
+    vertex normals, dist/sqrt(3), sign positive inside."""
+    P, V, F = len(points), len(verts), len(faces)
+    tri = verts[faces]                                   # [F, 3, 3]
+
+    # closest point on each triangle (plane projection or nearest edge)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    n = torch.cross(v1 - v0, v2 - v0, dim=-1)            # [F, 3]
+    p = points[:, None]                                  # [P, 1, 3]
+    w = p - v0[None]
+    n2 = (n * n).sum(-1).clamp_min(1e-12)[None]
+    b2 = ((torch.cross(v1[None] - v0[None], w, dim=-1) * n[None]).sum(-1)
+          / n2)
+    b1 = ((torch.cross(w, v2[None] - v0[None], dim=-1) * n[None]).sum(-1)
+          / n2)
+    b0 = 1.0 - b1 - b2
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & \
+        (b0 <= 1) & (b1 <= 1) & (b2 <= 1)
+    pn = (w * n[None]).sum(-1) / n2
+    proj = p - pn[..., None] * n[None]                   # [P, F, 3]
+    d_in = ((p - proj) ** 2).sum(-1)
+
+    def seg(a, b):
+        e = (b - a)[None]
+        t = (((p - a[None]) * e).sum(-1) /
+             (e * e).sum(-1).clamp_min(1e-12)).clamp(0, 1)
+        q = a[None] + t[..., None] * e
+        return ((p - q) ** 2).sum(-1)
+
+    d_edge = torch.minimum(torch.minimum(seg(v0, v1), seg(v1, v2)),
+                           seg(v2, v0))
+    d2 = torch.where(inside, d_in, d_edge)               # [P, F]
+    residues, pts_ind = d2.min(dim=1)
+
+    # PyTorch3D verts_normals semantics: accumulate unnormalized face cross
+    # products, then normalize
+    vn = torch.zeros(V, 3)
+    for k in range(3):
+        vn.index_add_(0, faces[:, k], n)
+    vn = torch.nn.functional.normalize(vn, dim=-1)
+
+    closest = tri[pts_ind]                               # [P, 3, 3]
+    # Heidrich barycentric coordinates of the projection (mesh_util.py:319)
+    u_ = closest[:, 1] - closest[:, 0]
+    v_ = closest[:, 2] - closest[:, 0]
+    nn_ = torch.cross(u_, v_, dim=-1)
+    s = (nn_ * nn_).sum(-1)
+    s[s == 0] = 1e-6
+    w_ = points - closest[:, 0]
+    bb2 = (torch.cross(u_, w_, dim=-1) * nn_).sum(-1) / s
+    bb1 = (torch.cross(w_, v_, dim=-1) * nn_).sum(-1) / s
+    bw = torch.stack([1 - bb1 - bb2, bb1, bb2], -1)      # [P, 3]
+
+    fidx = faces[pts_ind]                                # [P, 3]
+    pts_cmap = (cmaps[fidx] * bw[..., None]).sum(1)
+    pts_vis = ((vis[fidx] * bw[..., None]).sum(1) >= 1e-1).float()
+    pts_norm = (vn[fidx] * bw[..., None]).sum(1) * \
+        torch.tensor([-1.0, 1.0, -1.0])
+    pts_dist = residues.sqrt() / np.sqrt(3.0)
+    return pts_dist, pts_norm, pts_cmap, pts_vis, pts_ind
+
+
+@pytest.mark.slow
+def test_icon_full_query_chain_twin(tmp_path):
+    """End-to-end icon-prior query parity with ported published-layout
+    weights: filter -> grid_sample -> cal_sdf features (incl. the +-5 cm
+    outlier clip writing sdf into cmap) -> feat_select by visibility ->
+    concat order -> MLP -> in_cube mask."""
+    cfg = load_config(ICON_CFG).replace(test_mode=False)
+    assert cfg.net.prior_type == "icon"
+    hg, mlp, state = _build_twins(cfg)
+
+    from icon_tpu.utils.synthetic import icosphere
+    from icon_tpu.ops.sdf_fast import (build_ray_bins,
+                                       build_vertex_face_table)
+    radius = 0.45
+    v, f = icosphere(subdiv=2, radius=radius)
+    V, F = len(v), len(f)
+    rs = np.random.RandomState(5)
+    cmap_np = rs.rand(V, 3).astype(np.float32)
+    vis_np = (rs.rand(V, 1) > 0.4).astype(np.float32)
+
+    # calib: anisotropic scale + shift so projection actually transforms
+    calib_np = np.eye(4, dtype=np.float32)
+    calib_np[0, 0], calib_np[1, 1], calib_np[2, 2] = 0.9, 1.1, 0.95
+    calib_np[:3, 3] = [0.05, -0.03, 0.02]
+
+    net = HGPIFuNet(cfg)
+    small = jnp.zeros((1, 64, 64, 3))
+    init_batch = {
+        "normal_F": small, "normal_B": small,
+        "sample": jnp.zeros((1, 8, 3)), "calib": jnp.asarray(calib_np)[None],
+        "smpl_verts": jnp.zeros((1, V, 3)),
+        "smpl_faces": jnp.zeros((F, 3), jnp.int32),
+        "smpl_cmap": jnp.zeros((1, V, 3)),
+        "smpl_vis": jnp.zeros((1, V, 1)),
+        "smpl_vf_table": jnp.zeros((V, 8), jnp.int32),
+    }
+    variables = jax.jit(lambda k, b: net.init(k, b, train=False))(
+        jax.random.PRNGKey(0), init_batch)
+    new_vars, _ = _port(variables, state, tmp_path)
+
+    # query points: half hugging the surface (inlier branch: |sdf| < 5 cm),
+    # half uniform in the cube (mostly outliers + some out-of-cube)
+    n_near, n_far = 256, 256
+    dirs = rs.randn(n_near, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    r_jit = radius + rs.uniform(-0.03, 0.03, (n_near, 1)).astype(np.float32)
+    pts_np = np.concatenate([
+        dirs * r_jit,
+        rs.uniform(-1.1, 1.1, (n_far, 3)).astype(np.float32)]).astype(
+            np.float32)
+
+    nF = rs.randn(1, 64, 64, 3).astype(np.float32)
+    nB = rs.randn(1, 64, 64, 3).astype(np.float32)
+
+    # ---- our side: net.filter + net.query on the production feature path
+    vf = build_vertex_face_table(f, V)
+    rb, rg = build_ray_bins(v, f)
+    smpl_feat = {
+        "smpl_verts": jnp.asarray(v)[None],
+        "smpl_faces": jnp.asarray(f),
+        "smpl_cmap": jnp.asarray(cmap_np)[None],
+        "smpl_vis": jnp.asarray(vis_np)[None],
+        "smpl_vf_table": jnp.asarray(vf),
+        "smpl_ray_bins": jnp.asarray(rb),
+        "smpl_ray_grid": jnp.asarray(rg),
+    }
+    feats = net.apply(new_vars, {"normal_F": jnp.asarray(nF),
+                                 "normal_B": jnp.asarray(nB)},
+                      False, method=net.filter)
+    ours = net.apply(new_vars, feats, jnp.asarray(pts_np)[None],
+                     jnp.asarray(calib_np)[None], smpl_feat, False,
+                     method=net.query)[-1]
+    ours = np.asarray(ours)[0, :, 0]
+
+    # ---- torch side: the reference composition (HGPIFuNet.py:268-367)
+    with torch.no_grad():
+        fF = hg(torch.from_numpy(nF).permute(0, 3, 1, 2))
+        fB = hg(torch.from_numpy(nB).permute(0, 3, 1, 2))
+        im_feat = torch.cat([fF[-1], fB[-1]], 1)          # [1, 2*hg, H, W]
+
+        calib_t = torch.from_numpy(calib_np)
+        pts_t = torch.from_numpy(pts_np)                  # [N, 3]
+        xyz = pts_t @ calib_t[:3, :3].T + calib_t[:3, 3]  # orthogonal()
+        in_cube = ((xyz > -1.0) & (xyz < 1.0)).all(-1, keepdim=True).float()
+
+        dist, norm_t, cmap_t, vis_t, _ = _torch_point_tri_features(
+            xyz, torch.from_numpy(v), torch.from_numpy(np.asarray(f)).long(),
+            torch.from_numpy(cmap_np), torch.from_numpy(vis_np))
+        # analytic check_sign on the sphere: positive inside
+        sign = torch.where(xyz.norm(dim=-1) < radius, 1.0, -1.0)
+        sdf = (dist * sign)[:, None]
+
+        # outlier clip (HGPIFuNet.py:297-305): sdf -> sign, cmap -> sdf
+        clip = cfg.sdf_clip / 100.0
+        outlier = sdf.abs() >= clip
+        sdf = torch.where(outlier, sdf.sign(), sdf)
+        cmap_t = torch.where(outlier.repeat(1, 3), sdf.repeat(1, 3), cmap_t)
+        smpl_pt = torch.cat([sdf, cmap_t, norm_t, vis_t], dim=1)  # [N, 8]
+
+        # grid_sample align_corners=True at xy (geometry.py:21-43)
+        uv = xyz[None, :, None, :2]                        # [1, N, 1, 2]
+        sampled = torch.nn.functional.grid_sample(
+            im_feat, uv, align_corners=True)[0, :, :, 0]   # [2*hg, N]
+        # feat_select by visibility (mesh_util.py:266-277)
+        hgd = im_feat.shape[1] // 2
+        sel = vis_t.T                                      # [1, N]
+        idx = ((1 - sel).repeat(hgd, 1) * hgd +
+               torch.arange(hgd)[:, None]).long()
+        picked = torch.gather(sampled, 0, idx)             # [hg, N]
+
+        point_feat = torch.cat([picked, smpl_pt[:, :-1].T], 0)[None]
+        ref = mlp(point_feat) * in_cube.T[None]
+    ref = ref[0, 0].numpy()
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+    # both branches actually exercised
+    xyz_np = pts_np @ calib_np[:3, :3].T + calib_np[:3, 3]
+    d_true = np.abs(np.linalg.norm(xyz_np, axis=-1) - radius) / np.sqrt(3)
+    assert (d_true < clip).sum() > 50, "inlier branch not exercised"
+    assert (d_true >= clip).sum() > 50, "outlier branch not exercised"
