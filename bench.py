@@ -258,7 +258,8 @@ def main():
     pipe_dt = (time.perf_counter() - t0) / npipe
 
     # (c) engine-only fps (the metric the reference's 6.56 fps measures:
-    # occupancy evaluation without meshing/transfer), amortized over a
+    # occupancy evaluation without meshing/transfer, INCLUDING the final
+    # interpolated grid both produce in faster mode), amortized over a
     # back-to-back run so the tunnel's ~20 ms sync latency doesn't bill
     # the engine
     cz, _ = columns_jit(smpl_feat["smpl_verts"][0])

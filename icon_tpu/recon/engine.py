@@ -98,7 +98,8 @@ class ReconEngine:
                  conflict_rounds: int = 2,
                  pad_multiple: int = 1,
                  auto_budget: bool = False,
-                 auto_headroom: float = 1.5):
+                 auto_headroom: float = 1.5,
+                 virtual_final: bool = False):
         """``exact`` adds the reference's conflict-resolution refinement
         (seg3d_lossless.py:267-471): evaluated points whose value flips the
         interpolated occupancy's side re-examine their unevaluated 3^3
@@ -127,6 +128,15 @@ class ReconEngine:
         # scene change degrades at most one frame before re-upsizing.
         self.auto_budget = auto_budget
         self.auto_headroom = auto_headroom
+        # virtual_final (faster mode only): skip materializing the final
+        # trilinear upsample — return the penultimate grid and let the
+        # caller march its VIRTUAL 2x upsample on the fly
+        # (recon.marching.marching_lattice_virtual / AutoMarcher(virtual=
+        # True)). A MEMORY option for very high final resolutions (the
+        # 1025^3 grid alone is 4.3 GB); at 257^3 the dense upsample is a
+        # ~0.1 ms fused bandwidth op and the materialized path is faster —
+        # see marching_lattice_virtual's docstring for the measurements.
+        self.virtual_final = virtual_final and self.faster
         self._last_counts: Dict[int, jnp.ndarray] = {}
         self._jit_cache: Dict = {}
 
@@ -309,6 +319,11 @@ class ReconEngine:
                 # active cells from the coarse mixed cells (trilinear
                 # upsampling cannot create crossings outside them)
                 stats["coarse_occ"] = occ
+                if self.virtual_final:
+                    # caller marches the virtual upsample directly; the
+                    # dense final grid is never written
+                    stats["final_res"] = res[lv]
+                    break
                 occ = wrap(("up", lv),
                            lambda o, r=res[lv]: self._upsample(o, r))(occ)
                 break

@@ -529,6 +529,17 @@ def marching_lattice(occ: jnp.ndarray, iso: float = 0.5,
            (cy[:, None] + _CORNER_OFF[:, 1][None])) * W + \
         (cx[:, None] + _CORNER_OFF[:, 0][None])
     cvals = occ_flat[lin]                               # [NC, 8]
+    return _lattice_emit(cvals, cx, cy, cz, cell_idx, alive_cells,
+                         n_cells, n_cells_total, (D, H, W), iso, max_verts)
+
+
+def _lattice_emit(cvals, cx, cy, cz, cell_idx, alive_cells, n_cells,
+                  n_cells_total, fine_shape, iso, max_verts) -> LatticeOut:
+    """Shared lattice-codec emit: per-cell corner values -> owned crossing
+    edges -> (edge id, fraction) vertices + (cell id, corner bits)."""
+    D, H, W = fine_shape
+    cw, ch = W - 1, H - 1
+    max_cells = cx.shape[0]
     cbits = (cvals > iso).astype(jnp.int32)
 
     slots = jnp.asarray(_EDGE_SLOTS)                    # [19, 3]
@@ -567,6 +578,109 @@ def marching_lattice(occ: jnp.ndarray, iso: float = 0.5,
                       jnp.minimum(n_verts, max_verts),
                       jnp.minimum(n_cells, max_cells),
                       n_verts_total, n_cells_total)
+
+
+@functools.partial(jax.jit, static_argnames=("max_cells", "max_verts",
+                                             "max_candidates"))
+def marching_lattice_virtual(coarse_occ: jnp.ndarray, iso: float = 0.5,
+                             max_cells: int = 1 << 18,
+                             max_verts: int = 1 << 19,
+                             max_candidates: Optional[int] = None
+                             ) -> LatticeOut:
+    """:func:`marching_lattice` over the VIRTUAL 2x align_corners upsample
+    of ``coarse_occ``, sliced by one (the engine's faster-mode final level
+    + export convention): fine corner values are interpolated ON THE FLY at
+    candidate cells, so the dense fine grid never materializes.
+
+    When to use: MEMORY scaling, not speed. At 257^3 the dense path is
+    FASTER on v5e (45 ms vs 84 ms measured on the bench body: the dense
+    upsample is a ~0.1 ms fused bandwidth op that TPUs love, while this
+    path's per-candidate block gathers + tiny batched [2x2] weight matmuls
+    don't tile onto the MXU) — so the serving bench keeps the materialized
+    path. The virtual path's value is the dense grid it DOESN'T allocate:
+    at 1025^3 the fine grid alone is 4.3 GB; this marches it from the
+    0.5 GB coarse grid with surface-bound memory.
+
+    Equivalent to
+    ``marching_lattice(upsample2x(coarse)[1:,1:,1:], coarse_occ=coarse)``
+    up to interpolation ULP (tests/test_marching.py pins it).
+
+    Math: with align_corners 2x upsampling, the unsliced fine value at
+    index v is ``coarse[v/2]`` for even v and the midpoint of the two
+    neighbors for odd v, so a fine cell's 8 corners are separable
+    2-tap-per-axis combinations of ONE coarse 2^3 block at
+    ``floor((fine_sliced + 1) / 2)``.
+    """
+    Dc, Hc, Wc = coarse_occ.shape
+    D, H, W = 2 * Dc - 2, 2 * Hc - 2, 2 * Wc - 2   # sliced fine dims
+    cw, ch = W - 1, H - 1
+
+    # candidate fine cells from mixed coarse cells (same expansion as
+    # _active_cells' coarse path: coarse cell c covers sliced fine cells
+    # {2c-1, 2c} per axis)
+    in_c = coarse_occ > iso
+
+    def corner(arr, c, d_, h_, w_):
+        dx, dy, dz = _CORNER_OFF[c]
+        return arr[dz:dz + d_ - 1, dy:dy + h_ - 1, dx:dx + w_ - 1]
+
+    cntc = sum(corner(in_c, c, Dc, Hc, Wc).astype(jnp.int8)
+               for c in range(8))
+    mixed = (cntc > 0) & (cntc < 8)
+    mcand = max_candidates or max_cells
+    nc_budget = mcand // 8
+    idxc, n_c, n_mixed_total = _compact_indices(mixed.reshape(-1),
+                                                nc_budget)
+    ccz = idxc // ((Hc - 1) * (Wc - 1))
+    ccy = (idxc // (Wc - 1)) % (Hc - 1)
+    ccx = idxc % (Wc - 1)
+    offs = jnp.asarray(_CORNER_OFF)                     # [8, 3] (x, y, z)
+    fx = 2 * ccx[:, None] - 1 + offs[None, :, 0]
+    fy = 2 * ccy[:, None] - 1 + offs[None, :, 1]
+    fz = 2 * ccz[:, None] - 1 + offs[None, :, 2]
+    valid = ((fx >= 0) & (fx < cw) & (fy >= 0) & (fy < ch) &
+             (fz >= 0) & (fz < D - 1) &
+             (jnp.arange(nc_budget)[:, None] < n_c))
+    kx = jnp.clip(fx, 0, cw - 1).reshape(-1)            # [mcand]
+    ky = jnp.clip(fy, 0, ch - 1).reshape(-1)
+    kz = jnp.clip(fz, 0, D - 2).reshape(-1)
+    cand_idx = (kz * ch + ky) * cw + kx
+
+    # virtual fine corner values: one coarse 2^3 block per candidate cell
+    ux, uy, uz = kx + 1, ky + 1, kz + 1                 # unsliced base
+    bx, by, bz = ux // 2, uy // 2, uz // 2              # block base taps
+    px, py, pz = ux & 1, uy & 1, uz & 1                 # base parity
+    cf = coarse_occ.reshape(-1)
+    off1 = jnp.arange(2)
+    blin = (((bz[:, None, None, None] + off1[None, :, None, None]) * Hc +
+             (by[:, None, None, None] + off1[None, None, :, None])) * Wc +
+            (bx[:, None, None, None] + off1[None, None, None, :]))
+    blk = cf[blin]                                      # [mcand, 2, 2, 2]
+
+    # per-axis corner->tap weights: even base -> corner0 exact, corner1
+    # midpoint; odd base -> corner0 midpoint, corner1 exact
+    w_even = jnp.asarray([[1.0, 0.0], [0.5, 0.5]], coarse_occ.dtype)
+    w_odd = jnp.asarray([[0.5, 0.5], [0.0, 1.0]], coarse_occ.dtype)
+
+    def wsel(p):
+        return jnp.where((p == 0)[:, None, None], w_even[None], w_odd[None])
+
+    t = jnp.einsum("nct,ntyx->ncyx", wsel(pz), blk)
+    t = jnp.einsum("nbs,ncsx->ncbx", wsel(py), t)
+    t = jnp.einsum("nar,ncbr->ncba", wsel(px), t)
+    cvals8 = t.reshape(-1, 8)                 # corner order c = x + 2y + 4z
+
+    ins = cvals8 > iso
+    mixed_f = valid.reshape(-1) & ins.any(-1) & (~ins).any(-1)
+    cpos, n_cells, n_alive_total = _compact_indices(mixed_f, max_cells)
+    cell_idx = cand_idx[cpos]
+    cx, cy, cz = kx[cpos], ky[cpos], kz[cpos]
+    cvals = cvals8[cpos]
+    alive_cells = jnp.arange(max_cells) < n_cells
+    n_cells_total = n_alive_total + 8 * jnp.maximum(
+        n_mixed_total - nc_budget, 0)
+    return _lattice_emit(cvals, cx, cy, cz, cell_idx, alive_cells,
+                         n_cells, n_cells_total, (D, H, W), iso, max_verts)
 
 
 @functools.lru_cache(maxsize=64)
@@ -720,7 +834,8 @@ class AutoMarcher:
     def __init__(self, max_cells: int = 1 << 18, max_tris: int = 1 << 20,
                  max_verts: Optional[int] = None, iso: float = 0.5,
                  headroom: float = 1.3, use_coarse: bool = True,
-                 slice_one: bool = False, codec: str = "indexed"):
+                 slice_one: bool = False, codec: str = "indexed",
+                 virtual: bool = False):
         """``slice_one``: drop the first slice of each axis inside the
         jitted call (the engine/export grid convention,
         seg3d_lossless.py:585) instead of paying an eager slice op.
@@ -730,8 +845,17 @@ class AutoMarcher:
         (:func:`pack_mesh`); ``"lattice"`` transfers marching generators
         (edge ids + fractions + cells) and rebuilds faces on host
         (:func:`pack_lattice`) — 2.4x fewer bytes, the serving default when
-        the host link is the bottleneck."""
+        the host link is the bottleneck.
+
+        ``virtual``: ``__call__`` receives the engine's COARSE final grid
+        (``ReconEngine(virtual_final=True)``) and marches its virtual 2x
+        upsample via :func:`marching_lattice_virtual` — the dense fine grid
+        never materializes. Implies codec='lattice'; slice-one semantics
+        are built into the virtual lattice mapping."""
         assert codec in ("indexed", "lattice")
+        assert not virtual or codec == "lattice", \
+            "virtual upsample marching emits the lattice codec"
+        self.virtual = virtual
         self.caps = (max_cells, max_tris,
                      max_verts or min(2 * max_tris, 1 << 21))
         self.iso = iso
@@ -787,6 +911,20 @@ class AutoMarcher:
     def __call__(self, occ: jnp.ndarray,
                  coarse_occ: Optional[jnp.ndarray] = None):
         mc, mt, mv = self._sizes()
+        if self.virtual:
+            # `occ` IS the coarse grid; fine dims derive from it
+            Dc, Hc, Wc = occ.shape
+            self._dims = (2 * Hc - 2, 2 * Wc - 2)
+            out = marching_lattice_virtual(occ, iso=self.iso, max_cells=mc,
+                                           max_verts=mv,
+                                           max_candidates=self.caps[0])
+            self._last = jnp.stack([out.n_cells_total, out.n_verts_total,
+                                    out.n_verts, out.n_cells])
+            try:
+                self._last.copy_to_host_async()
+            except Exception:
+                pass
+            return out
         key = (mc, mt, mv, occ.shape, coarse_occ is not None, self.codec)
         if key not in self._jit_cache:
             kernel = marching_lattice if self.codec == "lattice" \

@@ -240,3 +240,68 @@ def test_lattice_codec_matches_explicit_mesh():
         fs_r = set(map(tuple, np.sort(rf, axis=1).tolist()))
         fs_l = set(map(tuple, np.sort(lf, axis=1).tolist()))
         assert fs_r == fs_l
+
+
+def test_virtual_upsample_marching_matches_materialized():
+    """marching_lattice_virtual(coarse) must emit the same lattice codec as
+    marching_lattice over the MATERIALIZED 2x align_corners upsample sliced
+    by one: same vertex edge ids, fractions to interpolation ULP, same cell
+    list, and an identical decoded mesh."""
+    import jax
+    from icon_tpu.ops.resize import resize3d_trilinear_align_corners
+    from icon_tpu.recon.marching import (decode_lattice, marching_lattice,
+                                         marching_lattice_virtual,
+                                         pack_lattice)
+
+    g = np.linspace(-1.0, 1.0, 33, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(xx ** 2 * 1.15 + yy ** 2 * 0.8 + zz ** 2 * 1.3)
+    field = 1.0 / (1.0 + np.exp(-(0.55 - r) * 9.0))
+    coarse = jnp.asarray(field)
+
+    fine = resize3d_trilinear_align_corners(
+        coarse[None, ..., None], (65, 65, 65))[0, ..., 0]
+    kw = dict(max_cells=1 << 15, max_verts=1 << 16)
+    ref = jax.jit(lambda o, c: marching_lattice(o, coarse_occ=c, **kw))(
+        fine[1:, 1:, 1:], coarse)
+    vir = marching_lattice_virtual(coarse, **kw)
+
+    nv, nc = int(ref.n_verts), int(ref.n_cells)
+    assert nv > 500 and nc > 200
+    assert int(vir.n_verts) == nv and int(vir.n_cells) == nc
+    assert int(vir.n_cells_total) == int(ref.n_cells_total)
+    np.testing.assert_array_equal(np.asarray(ref.vert_eid[:nv]),
+                                  np.asarray(vir.vert_eid[:nv]))
+    np.testing.assert_allclose(np.asarray(ref.vert_s[:nv]),
+                               np.asarray(vir.vert_s[:nv]),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.cell_id[:nc]),
+                                  np.asarray(vir.cell_id[:nc]))
+    np.testing.assert_array_equal(np.asarray(ref.cell_bits[:nc]) & 0xFF,
+                                  np.asarray(vir.cell_bits[:nc]) & 0xFF)
+
+    v_r, f_r = decode_lattice(pack_lattice(ref), 64, 64)
+    v_v, f_v = decode_lattice(pack_lattice(vir), 64, 64)
+    assert v_r.shape == v_v.shape and f_r.shape == f_v.shape
+    np.testing.assert_allclose(v_r, v_v, atol=1e-2)   # u8-quantized fracs
+    np.testing.assert_array_equal(f_r, f_v)
+
+
+def test_automarcher_virtual_mode():
+    """AutoMarcher(virtual=True) drives the virtual kernel end to end with
+    its bucket autotuning and lattice pack/unpack."""
+    from icon_tpu.recon.marching import AutoMarcher
+
+    g = np.linspace(-1.0, 1.0, 33, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    field = ((xx ** 2 + yy ** 2 + zz ** 2) < 0.45).astype(np.float32)
+    coarse = jnp.asarray(field)
+
+    m = AutoMarcher(max_cells=1 << 15, max_verts=1 << 16, slice_one=True,
+                    codec="lattice", virtual=True)
+    for _ in range(2):                      # second call uses tuned buckets
+        out = m(coarse)
+        verts, faces = m.unpack(m.pack(out))
+    assert len(verts) > 500 and len(faces) > 500
+    # verts live on the fine lattice of the virtual upsample: 64^3 cells
+    assert verts.min() >= 0.0 and verts.max() <= 64.0
