@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# FULL test suite: fast + slow + nightly.
+#
+# This machine exposes ONE core (nproc=1), so pytest-xdist cannot shorten
+# the wall time — the tiering is the review-window answer instead:
+#   fast tier     pytest tests/ -q                      (<4 min)
+#   review tier   pytest tests/ -q -m "slow and not nightly"   (<10 min)
+#   full          this script (~45 min on 1 core; pass WORKERS>1 on a
+#                 multi-core machine to parallelize with xdist)
+set -e
+cd "$(dirname "$0")/.."
+WORKERS="${1:-1}"
+if [ "$WORKERS" -gt 1 ]; then
+    exec python -m pytest tests/ -m "slow or not slow" -q -n "$WORKERS" "${@:2}"
+fi
+exec python -m pytest tests/ -m "slow or not slow" -q "${@:2}"

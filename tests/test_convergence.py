@@ -14,7 +14,8 @@ import dataclasses
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# nightly tier (~475 s: 600-step overfit + 2 recon evals) — review tier: `-m "slow and not nightly"`
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 
 @pytest.fixture(scope="module")

@@ -13,7 +13,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.slow
+# nightly tier (~140 s: full HybrIK twin forward) — review tier: `-m "slow and not nightly"`
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 
 def _setup(seed=0, width=16, layers=(1, 1, 1, 1), img=64, depth=8, hm=16):

@@ -219,6 +219,7 @@ def _port(variables, state_dict, tmp_path, normal_state=None):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_icon_filter_ckpt_port(tmp_path):
     """icon-filter.ckpt layout: filter() parity on the icon prior (dual
     F_filter over channel splits + concat) and MLP parity on the ported
@@ -397,6 +398,7 @@ def test_pamir_ckpt_port_ve(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_normal_ckpt_port_into_hgpifu(tmp_path):
     """normal.ckpt layout (netG.netF/netB) ports into the normal_filter
     scope and predict_normals matches the torch forward (unit-normalize +

@@ -50,11 +50,37 @@ def test_infer_app_all_priors(prior, image_dir, tmp_path, monkeypatch,
     out_dir = str(tmp_path / f"out-{prior}")
     monkeypatch.setattr(sys, "argv", [
         "infer", "-cfg", _cfg(tmp_path, prior), "-in_dir", image_dir,
-        "-out_dir", out_dir, "-loop_smpl", "1", "-loop_cloth", "1",
+        "-out_dir", out_dir, "-loop_smpl", "2", "-loop_cloth", "1",
         "-mcube_res", "64", "-img_size", "64", "-allow_random_hps"])
     infer.main()
     out = capsys.readouterr().out
     assert "recon:" in out
+    assert os.path.exists(os.path.join(out_dir, "person_recon.obj"))
+    # reference demo artifact set (apps/infer.py:288-364)
+    assert os.path.exists(os.path.join(out_dir, "person_overlap.png"))
+    if prior != "pifu":
+        for suffix in ("_smpl.obj", "_smpl.npy", "_smpl.gif"):
+            assert os.path.exists(os.path.join(
+                out_dir, f"person{suffix}")), f"missing person{suffix}"
+        fit = np.load(os.path.join(out_dir, "person_smpl.npy"),
+                      allow_pickle=True).item()
+        assert {"betas", "pose", "orient", "trans", "scale"} <= set(fit)
+
+
+def test_infer_app_point_sharded(image_dir, tmp_path, monkeypatch, capsys):
+    """-num_devices 8 runs the recon queries through shard_map on the
+    virtual CPU mesh (SURVEY §2.4; occupancy equality vs single-device is
+    pinned in tests/test_dist.py)."""
+    from icon_tpu.apps import infer
+    out_dir = str(tmp_path / "out-sharded")
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "-cfg", _cfg(tmp_path, "icon"), "-in_dir", image_dir,
+        "-out_dir", out_dir, "-loop_smpl", "1", "-loop_cloth", "0",
+        "-mcube_res", "64", "-img_size", "64", "-allow_random_hps",
+        "-num_devices", "8"])
+    infer.main()
+    out = capsys.readouterr().out
+    assert "point-sharding recon over 8 devices" in out
     assert os.path.exists(os.path.join(out_dir, "person_recon.obj"))
 
 

@@ -10,7 +10,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.slow
+# nightly tier (~240/155 s: HRNet twin forwards at real sizes) — review tier: `-m "slow and not nightly"`
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 
 def _setup(width=16, stage_modules=(1, 2, 2), img=64, seed=0):

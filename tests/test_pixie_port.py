@@ -61,6 +61,7 @@ def _nchw(x):
     return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
 
 
+@pytest.mark.nightly
 def test_pixie_port_coarse_parity():
     import jax
     cfg, twin, net, variables, imgs = _setup()

@@ -81,6 +81,7 @@ def _port(twin, variables):
     return new
 
 
+@pytest.mark.nightly
 def test_backbone_and_full_forward_parity():
     twin, net, variables, x, _ = _setup()
     new = _port(twin, variables)
