@@ -337,17 +337,19 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(fps / target_fps, 4),
     }
-    # perf gate (VERDICT r4 #5): per-stage floors pinned to the r4 measured
-    # values so stage regressions can't ride in silently behind a headline
+    # perf gate (VERDICT r4 #5): per-stage floors pinned just under the r5
+    # measured values (engine 26.4 fps / pipelined 0.186 s on a tunneled
+    # v5e: wide winning-face gather + startup-synced lazy auto-budget) so
+    # stage regressions can't ride in silently behind a headline
     # improvement. Warn-and-report — the driver reads stdout JSON only.
-    ENGINE_FPS_FLOOR = 17.0       # BENCH_r04 engine_only_fps
-    PIPELINED_FLOOR_SEC = 0.266   # BENCH_r04 pipelined_sec_per_image
+    ENGINE_FPS_FLOOR = 24.0       # r5 measured 26.4 engine_only_fps
+    PIPELINED_FLOOR_SEC = 0.21    # r5 measured 0.186 pipelined_sec_per_image
     gate = {"engine_fps_floor": ENGINE_FPS_FLOOR,
             "engine_ok": bool(engine_fps >= ENGINE_FPS_FLOOR),
             "pipelined_floor_sec": PIPELINED_FLOOR_SEC,
             "pipelined_ok": bool(pipe_dt <= PIPELINED_FLOOR_SEC)}
     if not (gate["engine_ok"] and gate["pipelined_ok"]):
-        print(f"WARNING: perf below r4 floors — engine {engine_fps:.2f} fps "
+        print(f"WARNING: perf below r5 floors — engine {engine_fps:.2f} fps "
               f"(floor {ENGINE_FPS_FLOOR}), pipelined {pipe_dt:.4f} s "
               f"(floor {PIPELINED_FLOOR_SEC})", file=sys.stderr)
     # secondary diagnostics on stderr (driver reads stdout JSON only)
