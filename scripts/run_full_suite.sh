@@ -10,6 +10,9 @@
 set -e
 cd "$(dirname "$0")/.."
 WORKERS="${1:-1}"
+case "$WORKERS" in
+    ''|*[!0-9]*) set -- 1 "$@"; WORKERS=1 ;;   # first arg is a pytest flag, not a worker count
+esac
 if [ "$WORKERS" -gt 1 ]; then
     exec python -m pytest tests/ -m "slow or not slow" -q -n "$WORKERS" "${@:2}"
 fi
