@@ -71,7 +71,7 @@ def main():
     from icon_tpu.ops.remesh import remesh
     from icon_tpu.recon.engine import (ReconEngine,
                                        reconstruction_resolutions)
-    from icon_tpu.recon.export import extract_mesh
+    from icon_tpu.recon.export import extract_mesh, make_marcher
     from icon_tpu.render.camera import verts_to_ndc
     from icon_tpu.render.render import query_color, render_normal
     from icon_tpu.training.checkpoints import (load_checkpoint,
@@ -113,6 +113,10 @@ def main():
                   "shard-exact; see parallel.mesh.shard_query)")
     eng = ReconEngine(reconstruction_resolutions(args.mcube_res),
                       pad_multiple=mesh.size if mesh else 1)
+    # one marcher across the run: autotuned buffers + the lattice wire
+    # (~6x fewer bytes/frame over the tunneled host link than the
+    # explicit indexed mesh the one-shot path transfers)
+    marcher = make_marcher()
 
     for idx in range(len(dataset)):
         data = dataset[idx]
@@ -242,7 +246,7 @@ def main():
                       "lost; raise engine budgets")
         # extract_mesh restores the dropped-first-slice index internally
         # (recon/export.py), so only the engine's y-flip remains
-        verts, faces = extract_mesh(occ)
+        verts, faces = extract_mesh(occ, marcher=marcher)
         verts = verts * np.array([1, -1, 1], np.float32)
         if cfg.clean_mesh:
             verts, faces = clean_mesh(verts, faces)

@@ -22,7 +22,7 @@ from icon_tpu.eval.evaluator import chamfer_p2s, normal_consistency
 
 def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
               max_cells: int = 1 << 18, max_tris: int = 1 << 20,
-              mesh=None):
+              mesh=None, marcher=None):
     """netG.filter + octree recon + marching for one test item
     (ICON.test_single, apps/ICON.py:729-761). Returns (verts, faces) in the
     [-1,1] engine world space.
@@ -75,7 +75,8 @@ def recon_one(net, variables, batch: Dict[str, np.ndarray], engine,
                                 jit_levels=True)
     else:
         occ, stats = engine(query_fn, jit_levels=True)
-    verts, faces = extract_mesh(occ, max_cells=max_cells, max_tris=max_tris)
+    verts, faces = extract_mesh(occ, max_cells=max_cells, max_tris=max_tris,
+                                marcher=marcher)
     return verts, faces, stats
 
 
@@ -113,6 +114,8 @@ def run_evaluation(cfg, dataset, net, variables,
     res = mcube_res or cfg.mcube_res
     engine = ReconEngine(reconstruction_resolutions(res),
                          pad_multiple=mesh.size if mesh else 1)
+    from icon_tpu.recon.export import make_marcher
+    marcher = make_marcher()   # lattice wire + autotuned buffers, per-run
 
     accum: Dict[str, Dict[str, List[float]]] = {}
     n = len(dataset)
@@ -121,7 +124,7 @@ def run_evaluation(cfg, dataset, net, variables,
     for i in range(n):
         item = dataset[i]
         verts_pr, faces_pr, stats = recon_one(net, variables, item, engine,
-                                              mesh=mesh)
+                                              mesh=mesh, marcher=marcher)
         if cfg.clean_mesh and len(verts_pr):
             verts_pr, faces_pr = clean_mesh(verts_pr, faces_pr)
         if not len(verts_pr):

@@ -16,9 +16,10 @@ callers keep their PIL paths):
 - ``decode_masked_tensor(path, channels) -> float32 [H, W, C]``
   ((rgb * 2 - 1) * alpha, the reference imagepath2tensor semantics)
 - ``decode_rgb_alpha(path) -> (float32 [H, W, 3], float32 [H, W])``
-- ``lattice_decode(buf, nvb, ncb, H, W, tables) -> (verts, faces, info)``
-  (serving-path mesh rebuild from the marching lattice codec — the numpy
-  decode costs ~0.5 s/frame in fancy-indexing temporaries, this ~10 ms)
+- ``lattice_decode(buf, nvb, ncb, H, W, tables, implicit) -> (verts,
+  faces, info)`` (serving-path mesh rebuild from the marching lattice
+  codec, v1 explicit / v2 implicit edge ids — the numpy decode costs
+  ~0.5 s/frame in fancy-indexing temporaries, this ~15-30 ms at 295k tris)
 """
 
 from __future__ import annotations
@@ -71,6 +72,9 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, u8p, u8p, u8p, f32p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
         lib.icon_lattice_decode.restype = ctypes.c_longlong
+        lib.icon_lattice_decode_implicit.argtypes = \
+            lib.icon_lattice_decode.argtypes
+        lib.icon_lattice_decode_implicit.restype = ctypes.c_longlong
         _lib = lib
         return _lib
 
@@ -144,11 +148,13 @@ def decode_masked_tensor(src: Union[str, bytes],
 
 def lattice_decode(buf: np.ndarray, nvb: int, ncb: int, H: int, W: int,
                    tet_case: np.ndarray, tri_lo: np.ndarray,
-                   tri_dcode: np.ndarray, tri_valid: np.ndarray
+                   tri_dcode: np.ndarray, tri_valid: np.ndarray,
+                   implicit: bool = False
                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Rebuild (verts [nv, 3] f32, faces [nf, 3] i32, info [3] i32) from a
     marching lattice-codec buffer (icon_tpu/recon/marching.py layout).
-    info = (n_verts, n_cells, overflow). None when native is unavailable
+    info = (n_verts, n_cells, overflow). ``implicit`` selects the wire-v2
+    decoder (no edge-id block on the wire). None when native is unavailable
     (caller falls back to the numpy decode)."""
     lib = _load()
     if lib is None:
@@ -158,7 +164,9 @@ def lattice_decode(buf: np.ndarray, nvb: int, ncb: int, H: int, W: int,
     faces = np.empty((ncb * 12, 3), np.int32)
     info = np.zeros(3, np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    nf = lib.icon_lattice_decode(
+    fn = lib.icon_lattice_decode_implicit if implicit \
+        else lib.icon_lattice_decode
+    nf = fn(
         buf.ctypes.data_as(i32p), nvb, ncb, H, W,
         _as_u8p(tet_case), _as_u8p(tri_lo), _as_u8p(tri_dcode),
         _as_u8p(tri_valid), _as_f32p(verts),

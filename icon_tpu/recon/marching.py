@@ -394,11 +394,12 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
 # ---------------------------------------------------------------------------
 # Lattice codec: the serving-path wire format.
 #
-# The tunneled host link moves ~25 MB/s and does NOT overlap device compute
-# (measured: 0.18 s/frame device-only vs 0.30 s/frame with the per-frame
-# mesh copy at 256^3), so transferred bytes are first-order serving cost.
-# Instead of explicit verts + faces (~3.3 MB at 295k tris), transfer the
-# marching-tetrahedra *generators* and rebuild on host:
+# The tunneled host link moves ~30 MB/s with a ~28 ms fixed round-trip per
+# fetch (measured r5; post-computation copies DO overlap device compute,
+# but the per-frame bytes and sync latency still bill the sequential
+# serving path directly), so transferred bytes are first-order serving
+# cost. Instead of explicit verts + faces (~3.3 MB at 295k tris), transfer
+# the marching-tetrahedra *generators* and rebuild on host:
 #
 #   - unique vertices as (lattice edge id, fraction-from-lo-end u8): every
 #     MT vertex lies on a unique lattice edge, so the edge id both names the
@@ -408,9 +409,14 @@ def marching_tetrahedra_indexed(occ: jnp.ndarray, iso: float = 0.5,
 #     function of the corner bits through the same (tet, case) tables the
 #     device uses, so no face indices cross the link at all.
 #
-# ~1.4 MB for the same mesh (2.4x fewer bytes). Host decode is numpy table
-# gathers + one searchsorted (edge id -> vertex rank); faces come out in
-# table order, identical as a SET to the explicit path's.
+# ~1.3 MB for the same mesh (2.5x fewer bytes). Wire v2 ("implicit eid",
+# the serving default) drops the edge-id block too — every transmitted
+# vertex is an owned crossing edge of a mixed cell, so the host recovers
+# the sorted-unique edge-id list from the cell bits alone — ~0.5 MB
+# (6.3x fewer bytes than explicit; measured 56 -> 36 ms/frame transfer at
+# 295k tris). Host decode is numpy table gathers + one searchsorted (edge
+# id -> vertex rank) — or the native C++ single-pass rebuild — and faces
+# come out in table order, identical as a SET to the explicit path's.
 # ---------------------------------------------------------------------------
 
 
@@ -684,13 +690,17 @@ def marching_lattice_virtual(coarse_occ: jnp.ndarray, iso: float = 0.5,
 
 
 @functools.lru_cache(maxsize=64)
-def _pack_lattice_fn(nv: int, nc: int):
+def _pack_lattice_fn(nv: int, nc: int, implicit_eid: bool = False):
     """Jitted lattice packer (one int32 buffer; bucketed sizes, see
     _pack_fn): [header 4 | vert_eid nv | vert_s u8 x4/word | cell_id nc |
-    cell_bits u8 x4/word]."""
+    cell_bits u8 x4/word]. With ``implicit_eid`` the vert_eid block is
+    omitted (wire v2): the host derives the sorted-unique edge-id list from
+    (cell_id, cell_bits) — every transmitted vertex is an owned crossing
+    edge of a mixed cell, hence referenced by that cell's own triangles, so
+    unique(face edge ids) reproduces vert_eid exactly. Drops 4 B/vertex
+    (~40% of the frame) off the non-overlapping tunnel link."""
 
     def pack(vert_eid, vert_s, cell_id, cell_bits, counts):
-        eid = jax.lax.slice(vert_eid, (0,), (nv,))
         s8 = jnp.clip(jnp.round(
             jax.lax.slice(vert_s, (0,), (nv,)) * 255.0), 0, 255) \
             .astype(jnp.int32)
@@ -704,16 +714,23 @@ def _pack_lattice_fn(nv: int, nc: int):
             return (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
                     | (b[:, 3] << 24))
 
-        return jnp.concatenate([counts, eid, pack4(s8, nv),
-                                cid, pack4(cb, nc)])
+        parts = [counts]
+        if not implicit_eid:
+            parts.append(jax.lax.slice(vert_eid, (0,), (nv,)))
+        parts += [pack4(s8, nv), cid, pack4(cb, nc)]
+        return jnp.concatenate(parts)
 
     return jax.jit(pack)
 
 
 def pack_lattice(out: LatticeOut, bucket: int = 16384,
-                 sizes: Optional[Tuple[int, int]] = None):
+                 sizes: Optional[Tuple[int, int]] = None,
+                 implicit_eid: bool = False):
     """Device-side lattice-codec pack; non-blocking (header counts, see
-    :func:`pack_mesh`). ``sizes`` = (n_verts, n_cells) upper bounds."""
+    :func:`pack_mesh`). ``sizes`` = (n_verts, n_cells) upper bounds.
+    ``implicit_eid`` selects wire v2 (no edge-id block, see
+    :func:`_pack_lattice_fn`); the format rides header word 2 so
+    :func:`decode_lattice` auto-dispatches."""
     cap_v = out.vert_eid.shape[0]
     cap_c = out.cell_id.shape[0]
     want_v, want_c = sizes if sizes is not None else (cap_v, cap_c)
@@ -722,10 +739,10 @@ def pack_lattice(out: LatticeOut, bucket: int = 16384,
     nvb = min(-(-want_v // bucket) * bucket, cap_v)
     ncb = min(-(-want_c // bucket) * bucket, cap_c)
     counts = jnp.stack([out.n_verts, out.n_cells,
-                        jnp.zeros((), jnp.int32),
+                        jnp.full((), int(implicit_eid), jnp.int32),
                         jnp.zeros((), jnp.int32)]).astype(jnp.int32)
-    buf = _pack_lattice_fn(nvb, ncb)(out.vert_eid, out.vert_s, out.cell_id,
-                                     out.cell_bits, counts)
+    buf = _pack_lattice_fn(nvb, ncb, implicit_eid)(
+        out.vert_eid, out.vert_s, out.cell_id, out.cell_bits, counts)
     return buf, nvb, ncb
 
 
@@ -734,7 +751,8 @@ def decode_lattice(packed, H: int, W: int, return_overflow: bool = False):
     verts from (edge id, fraction), faces from (cell id, corner bits)
     through the host twin tables. ``H``/``W`` are the marched grid's dims
     (occ.shape[1], occ.shape[2]). Returns (verts [V, 3] f32 grid coords,
-    faces [F, 3] i64) (+ overflow flag).
+    faces [F, 3] i64) (+ overflow flag). The wire format (v1 explicit edge
+    ids / v2 implicit) is read from header word 2.
 
     The rebuild runs in the native C++ decoder when available
     (icon_tpu/native: ~10 ms/frame, GIL-free) and falls back to the numpy
@@ -745,11 +763,12 @@ def decode_lattice(packed, H: int, W: int, return_overflow: bool = False):
         return empty + (False,) if return_overflow else empty
     buf, nvb, ncb = packed
     host = np.asarray(buf)
+    implicit = bool(host[2] & 1)
 
     from icon_tpu import native
     if native.available():
         res = native.lattice_decode(host, nvb, ncb, H, W,
-                                    *_host_tables_flat())
+                                    *_host_tables_flat(), implicit=implicit)
         if res is not None:
             verts, faces, info = res
             out = (verts, faces.astype(np.int64))
@@ -758,11 +777,17 @@ def decode_lattice(packed, H: int, W: int, return_overflow: bool = False):
     overflow = nv_true > nvb or nc_true > ncb
     nv = min(nv_true, nvb)
     nc = min(nc_true, ncb)
-    if nv == 0 or nc == 0:
+    if nv == 0 or nc == 0 or (implicit and overflow):
+        # v2 cannot best-effort decode a truncated frame: the s-fraction
+        # array aligns to the FULL device vertex set, so a subset-derived
+        # edge list would misalign every rank — signal repack instead.
         return empty + (overflow,) if return_overflow else empty
     off = 4
-    eid = host[off:off + nvb][:nv]
-    off += nvb
+    if implicit:
+        eid = None
+    else:
+        eid = host[off:off + nvb][:nv]
+        off += nvb
     s_words = host[off:off + (nvb + 3) // 4].view(np.uint32)
     off += (nvb + 3) // 4
     cid = host[off:off + ncb][:nc]
@@ -779,15 +804,6 @@ def decode_lattice(packed, H: int, W: int, return_overflow: bool = False):
 
     s = unpack4(s_words, nv).astype(np.float32) / 255.0
     cbits = unpack4(cb_words, nc)
-
-    # verts: edge id -> lo lattice point + direction, walk s along it
-    lo = eid >> 3
-    dirc = eid & 7
-    x0 = (lo % W).astype(np.float32)
-    y0 = ((lo // W) % H).astype(np.float32)
-    z0 = (lo // (W * H)).astype(np.float32)
-    verts = np.stack([x0 + s * (dirc & 1), y0 + s * ((dirc >> 1) & 1),
-                      z0 + s * ((dirc >> 2) & 1)], axis=-1)
 
     # faces: corner bits -> per-tet cases -> triangle corner pairs
     tet_case, corners, valid = _host_tables()
@@ -808,6 +824,23 @@ def decode_lattice(packed, H: int, W: int, return_overflow: bool = False):
     dcode = d[..., 0] + 2 * d[..., 1] + 4 * d[..., 2]
     feid = np.minimum(a_lin, b_lin) * 8 + dcode         # [NC, 6, 2, 3]
     feid = feid[val].reshape(-1, 3)                     # [F, 3] edge ids
+
+    if implicit:
+        # wire v2: the sorted-unique face edge ids ARE the device vertex
+        # list (every owned crossing edge is referenced by its owner cell's
+        # triangles); a count mismatch means truncation -> repack
+        eid = np.unique(feid)
+        if len(eid) != nv:
+            return empty + (True,) if return_overflow else empty
+
+    # verts: edge id -> lo lattice point + direction, walk s along it
+    lo = eid >> 3
+    dirc = eid & 7
+    x0 = (lo % W).astype(np.float32)
+    y0 = ((lo // W) % H).astype(np.float32)
+    z0 = (lo // (W * H)).astype(np.float32)
+    verts = np.stack([x0 + s * (dirc & 1), y0 + s * ((dirc >> 1) & 1),
+                      z0 + s * ((dirc >> 2) & 1)], axis=-1)
 
     # edge id -> vertex rank (vert_eid is sorted by construction)
     pos = np.searchsorted(eid, feid)
@@ -835,7 +868,7 @@ class AutoMarcher:
                  max_verts: Optional[int] = None, iso: float = 0.5,
                  headroom: float = 1.3, use_coarse: bool = True,
                  slice_one: bool = False, codec: str = "indexed",
-                 virtual: bool = False):
+                 virtual: bool = False, implicit_eid: bool = True):
         """``slice_one``: drop the first slice of each axis inside the
         jitted call (the engine/export grid convention,
         seg3d_lossless.py:585) instead of paying an eager slice op.
@@ -845,7 +878,11 @@ class AutoMarcher:
         (:func:`pack_mesh`); ``"lattice"`` transfers marching generators
         (edge ids + fractions + cells) and rebuilds faces on host
         (:func:`pack_lattice`) — 2.4x fewer bytes, the serving default when
-        the host link is the bottleneck.
+        the host link is the bottleneck. ``implicit_eid`` further drops the
+        edge-id block from the lattice wire (another ~1.7x, wire v2 — the
+        host derives the vertex list from the cell bits); a frame whose
+        derived list mismatches falls back to an explicit-eid repack, so
+        the option is safe to leave on.
 
         ``virtual``: ``__call__`` receives the engine's COARSE final grid
         (``ReconEngine(virtual_final=True)``) and marches its virtual 2x
@@ -863,6 +900,7 @@ class AutoMarcher:
         self.use_coarse = use_coarse
         self.slice_one = slice_one
         self.codec = codec
+        self.implicit_eid = implicit_eid
         # device [4]: (n_cells_total, n_tris_total, n_verts, n_tris) —
         # measured last frame, prefetched async, read lazily next frame
         self._last = None
@@ -975,7 +1013,8 @@ class AutoMarcher:
         if self.codec == "lattice":
             sizes = (int(c[1] * self.headroom),
                      int(c[0] * self.headroom)) if c is not None else None
-            packed = pack_lattice(out, sizes=sizes)
+            packed = pack_lattice(out, sizes=sizes,
+                                  implicit_eid=self.implicit_eid)
             return packed, out, self._dims
         sizes = (int(c[2] * self.headroom), int(c[3] * self.headroom)) \
             if c is not None else None

@@ -305,3 +305,77 @@ def test_automarcher_virtual_mode():
     assert len(verts) > 500 and len(faces) > 500
     # verts live on the fine lattice of the virtual upsample: 64^3 cells
     assert verts.min() >= 0.0 and verts.max() <= 64.0
+
+
+def test_lattice_wire_v2_implicit_eid():
+    """Wire v2 (implicit edge ids) must decode bit-identically to v1 on
+    both the native and numpy paths, shrink the wire, and fall back to an
+    explicit re-pack when the frame is truncated (alignment undefined)."""
+    from icon_tpu import native
+    from icon_tpu.recon.marching import (AutoMarcher, decode_lattice,
+                                         marching_lattice, pack_lattice)
+
+    g = np.linspace(-1, 1, 49)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt((xx / 0.6) ** 2 + (yy / 0.9) ** 2 + (zz / 0.35) ** 2)
+    wob = 0.15 * np.sin(5 * xx) * np.cos(4 * yy)
+    occ = jnp.asarray(
+        (1 / (1 + np.exp(-(0.55 - r + wob) * 8))).astype(np.float32))
+    out = marching_lattice(occ, max_cells=1 << 15, max_verts=1 << 16)
+    p1 = pack_lattice(out)
+    p2 = pack_lattice(out, implicit_eid=True)
+    nv = int(out.n_verts)
+    assert nv > 2000
+    # wire shrink: v2 drops the 4 B/vertex edge-id block
+    assert p2[0].shape[0] <= p1[0].shape[0] - nv
+
+    v1, f1 = decode_lattice(p1, 49, 49)
+    v2, f2 = decode_lattice(p2, 49, 49)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+    assert len(v1) == nv and len(f1) > 0
+
+    if native.available():            # numpy fallback must agree too
+        import unittest.mock as mock
+        with mock.patch.object(native, "lattice_decode",
+                               lambda *a, **k: None):
+            v2n, f2n = decode_lattice(p2, 49, 49)
+        np.testing.assert_array_equal(v1, v2n)
+        np.testing.assert_array_equal(f1, f2n)
+
+    # truncated v2 frame: decode refuses (alignment undefined) and reports
+    # overflow; AutoMarcher.unpack recovers via the explicit full re-pack
+    tiny = pack_lattice(out, sizes=(64, 64), bucket=64, implicit_eid=True)
+    ev, ef, ovf = decode_lattice(tiny, 49, 49, return_overflow=True)
+    assert ovf and len(ev) == 0 and len(ef) == 0
+    m = AutoMarcher(max_cells=1 << 15, max_verts=1 << 16, codec="lattice")
+    m._dims = (49, 49)
+    vr, fr = m.unpack((tiny, out, (49, 49)))
+    np.testing.assert_array_equal(v1, vr)
+    np.testing.assert_array_equal(f1, fr)
+
+
+def test_extract_mesh_marcher_matches_indexed():
+    """extract_mesh with a persistent lattice marcher (the serving path the
+    demo/eval CLIs hold across frames) must reproduce the one-shot indexed
+    extraction: same vertex count and normalized coords up to the u8
+    fraction step, identical face set."""
+    from icon_tpu.recon.export import extract_mesh, make_marcher
+
+    g = np.linspace(-1, 1, 65, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt((xx / 0.7) ** 2 + (yy / 0.9) ** 2 + (zz / 0.5) ** 2)
+    occ = jnp.asarray((1 / (1 + np.exp(-(0.6 - r) * 10))).astype(np.float32))
+
+    v_ref, f_ref = extract_mesh(occ, max_cells=1 << 15, max_tris=1 << 17)
+    m = make_marcher(max_cells=1 << 15, max_tris=1 << 17)
+    for _ in range(2):              # second frame exercises tuned buckets
+        v_lat, f_lat = extract_mesh(occ, marcher=m)
+    assert len(v_lat) == len(v_ref) and len(f_lat) == len(f_ref)
+    # both vertex streams are sorted by lattice edge id; normalized coords
+    # agree to the u8 fraction step (1/255 edge over a 64-cell half-width)
+    assert np.abs(v_lat - v_ref).max() <= np.sqrt(3) / 255 / 32 + 1e-6
+    fs_r = set(map(tuple, np.sort(f_ref, axis=1).tolist()))
+    fs_l = set(map(tuple, np.sort(f_lat, axis=1).tolist()))
+    assert fs_r == fs_l
+    assert f_lat.dtype == np.int64 and f_ref.dtype == np.int64
