@@ -338,12 +338,13 @@ def main():
         "vs_baseline": round(fps / target_fps, 4),
     }
     # perf gate (VERDICT r4 #5): per-stage floors pinned just under the r5
-    # measured values (engine 26.4 fps / pipelined 0.186 s on a tunneled
-    # v5e: wide winning-face gather + startup-synced lazy auto-budget) so
-    # stage regressions can't ride in silently behind a headline
-    # improvement. Warn-and-report — the driver reads stdout JSON only.
-    ENGINE_FPS_FLOOR = 24.0       # r5 measured 26.4 engine_only_fps
-    PIPELINED_FLOOR_SEC = 0.21    # r5 measured 0.186 pipelined_sec_per_image
+    # measured values (engine 26.9 fps / pipelined 0.086 s on a tunneled
+    # v5e: implicit-eid lattice wire + pack-time async d2h copy + lazy
+    # landed-counts reads) so stage regressions can't ride in silently
+    # behind a headline improvement. Warn-and-report — the driver reads
+    # stdout JSON only.
+    ENGINE_FPS_FLOOR = 24.0       # r5 measured 26.9 engine_only_fps
+    PIPELINED_FLOOR_SEC = 0.11    # r5 measured 0.086 pipelined_sec_per_image
     gate = {"engine_fps_floor": ENGINE_FPS_FLOOR,
             "engine_ok": bool(engine_fps >= ENGINE_FPS_FLOOR),
             "pipelined_floor_sec": PIPELINED_FLOOR_SEC,

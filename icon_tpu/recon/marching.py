@@ -1030,10 +1030,23 @@ class AutoMarcher:
                      int(c[0] * self.headroom)) if c is not None else None
             packed = pack_lattice(out, sizes=sizes,
                                   implicit_eid=self.implicit_eid)
+            try:
+                # start the d2h copy NOW: by unpack time (a frame later in
+                # a pipelined loop) the bytes are already host-side, so the
+                # blocking fetch pays only the decode (measured: the copy
+                # otherwise starts at np.asarray and strictly serializes
+                # with the next frame's compute on the tunneled link)
+                packed[0].copy_to_host_async()
+            except Exception:
+                pass
             return packed, out, self._dims
         sizes = (int(c[2] * self.headroom), int(c[3] * self.headroom)) \
             if c is not None else None
         packed = pack_mesh(out, quantize=quantize, sizes=sizes)
+        try:
+            packed[0].copy_to_host_async()  # see the lattice branch
+        except Exception:
+            pass
         return packed, out, quantize
 
     def unpack(self, token) -> Tuple[np.ndarray, np.ndarray]:
