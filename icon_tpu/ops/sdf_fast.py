@@ -74,7 +74,25 @@ def _nearest_vertices(points: jnp.ndarray, verts: jnp.ndarray,
     ``approx`` uses the TPU-native ``approx_max_k`` (1.9x faster than the
     exact sort at k=2 on v5e, measured 99.999% top-1 agreement on body
     meshes); the union of incident-face candidates absorbs a rare swapped
-    neighbor, and the exact-distance step downstream is unaffected."""
+    neighbor, and the exact-distance step downstream is unaffected.
+
+    ``ICON_TPU_PALLAS=1`` swaps in the fused Pallas kernel
+    (ops/pallas/knn.py) on a TPU backend. Opt-IN because the winner is
+    context-dependent (measured on v5e, 98k points x 10.5k verts): called
+    standalone, XLA spills the [chunk, V] distance matrix to HBM and the
+    Pallas kernel is 3.7x faster (58 -> 16 ms, exact top-1 vs
+    approx_max_k's 0.83 on random clouds); inside the recon engine's jit,
+    XLA fuses the reduction into the matmul consumer and beats the
+    VPU-bound kernel (engine 26.9 -> 18.6 fps with Pallas). The bench
+    perf gate catches either choice regressing."""
+    import os
+    if approx and k <= 8 and os.environ.get("ICON_TPU_PALLAS", "0") == "1" \
+            and jax.default_backend() == "tpu":
+        try:
+            from icon_tpu.ops.pallas.knn import nearest_vertices_pallas
+            return nearest_vertices_pallas(points, verts, k=k)
+        except Exception:
+            pass                        # fall through to the XLA path
     N = points.shape[0]
     pc = min(point_chunk, max(N, 1))
     n_pad = (-N) % pc

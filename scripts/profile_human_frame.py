@@ -28,10 +28,15 @@ smpl_feat["smpl_vf_table"] = jnp.asarray(build_vertex_face_table(np.asarray(batc
 from icon_tpu.ops.sdf_fast import build_column_bins, build_crossing_columns_blocked
 _cx = np.linspace(-1.0, 1.0, 257, dtype=np.float32)
 _cy = np.linspace(1.0, -1.0, 257, dtype=np.float32)
-_cb, _cm = build_column_bins(np.asarray(batch["smpl_verts"][0]), np.asarray(batch["smpl_faces"]), _cx, _cy)
-_cb, _cm = jnp.asarray(_cb), jnp.asarray(_cm)
+# compact tiles (the bench/infer serving configuration): only occupied
+# lattice tiles run the crossing math
+_cb, _cm, _tids = build_column_bins(np.asarray(batch["smpl_verts"][0]),
+                                    np.asarray(batch["smpl_faces"]),
+                                    _cx, _cy, compact=True)
+_cb, _cm, _tids = jnp.asarray(_cb), jnp.asarray(_cm), jnp.asarray(_tids)
 _cxj, _cyj = jnp.asarray(_cx), jnp.asarray(_cy)
-columns_jit = jax.jit(lambda v: build_crossing_columns_blocked(v, smpl_feat["smpl_faces"], _cb, _cm, _cxj, _cyj))
+columns_jit = jax.jit(lambda v: build_crossing_columns_blocked(
+    v, smpl_feat["smpl_faces"], _cb, _cm, _cxj, _cyj, tile_ids=_tids))
 smpl_feat["smpl_cross_meta"] = jnp.asarray([-1.0, 1.0, 128.0, -128.0, 257.0, 257.0], jnp.float32)
 filter_jit = jax.jit(lambda v,t: net.apply(v,t,train=False,method=net.filter))
 in_t = {k: batch[k] for k in ("image","normal_F","normal_B")}
